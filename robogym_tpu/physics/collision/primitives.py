@@ -1,0 +1,174 @@
+"""Analytic narrowphase collision functions (plane/sphere/capsule/box).
+
+Each function returns fixed-size contact candidates:
+    dist:  (n,)   signed distance (negative = penetrating)
+    pos:   (n,3)  contact midpoint
+    normal:(n,3)  unit normal, pointing from geom1 into geom2
+
+All are pure element-wise math — vmapped over pairs and envs they become
+large fused VPU kernels. Inactive slots carry dist=+inf.
+
+Semantics follow MuJoCo's primitive colliders (single/multi point counts per
+pair type as allocated in robogym_tpu.mjcf.compiler._PAIR_NCON).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1e10
+
+
+def _pad(dist, pos, normal, n):
+    """Pad contact set to n slots with inactive entries."""
+    k = dist.shape[0]
+    if k == n:
+        return dist, pos, normal
+    pad = n - k
+    dist = jnp.concatenate([dist, jnp.full((pad,), BIG, dist.dtype)])
+    pos = jnp.concatenate([pos, jnp.zeros((pad, 3), pos.dtype)])
+    normal = jnp.concatenate(
+        [normal, jnp.tile(jnp.asarray([0.0, 0, 1.0], normal.dtype), (pad, 1))]
+    )
+    return dist, pos, normal
+
+
+# --- plane functions -------------------------------------------------------
+# plane frame: normal is +z of the plane's rotation matrix
+
+
+def plane_sphere(xp1, xm1, s1, xp2, xm2, s2):
+    n = xm1[:, 2]
+    r = s2[0]
+    cdist = jnp.dot(xp2 - xp1, n)
+    dist = cdist - r
+    pos = xp2 - n * (r + 0.5 * dist)
+    return dist[None], pos[None], n[None]
+
+
+def plane_capsule(xp1, xm1, s1, xp2, xm2, s2):
+    n = xm1[:, 2]
+    r, hh = s2[0], s2[1]
+    axis = xm2[:, 2]
+    ends = jnp.stack([xp2 + axis * hh, xp2 - axis * hh])  # (2,3)
+    cdist = (ends - xp1) @ n
+    dist = cdist - r
+    pos = ends - n[None, :] * (r + 0.5 * dist)[:, None]
+    return dist, pos, jnp.tile(n, (2, 1))
+
+
+def plane_box(xp1, xm1, s1, xp2, xm2, s2):
+    n = xm1[:, 2]
+    # 8 corners; report the 4 deepest
+    signs = jnp.asarray(
+        [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)],
+        xp1.dtype,
+    )
+    corners = xp2 + (signs * s2) @ xm2.T  # (8,3)
+    dist = (corners - xp1) @ n
+    # 4 smallest distances
+    idx = jnp.argsort(dist)[:4]
+    dist4 = dist[idx]
+    pos4 = corners[idx] - 0.5 * dist4[:, None] * n[None, :]
+    return dist4, pos4, jnp.tile(n, (4, 1))
+
+
+def plane_convex(xp1, xm1, s1, xp2, xm2, verts, mask):
+    """Plane vs convex hull: 4 deepest vertices below the plane."""
+    n = xm1[:, 2]
+    world = xp2 + verts @ xm2.T  # (V,3)
+    dist = (world - xp1) @ n
+    dist = jnp.where(mask > 0, dist, BIG)
+    idx = jnp.argsort(dist)[:4]
+    dist4 = dist[idx]
+    pos4 = world[idx] - 0.5 * dist4[:, None] * n[None, :]
+    return dist4, pos4, jnp.tile(n, (4, 1))
+
+
+# --- sphere functions ------------------------------------------------------
+
+
+def sphere_sphere(xp1, xm1, s1, xp2, xm2, s2):
+    r1, r2 = s1[0], s2[0]
+    dvec = xp2 - xp1
+    dist_c = jnp.linalg.norm(dvec) + 1e-12
+    n = dvec / dist_c
+    dist = dist_c - r1 - r2
+    pos = xp1 + n * (r1 + 0.5 * dist)
+    return dist[None], pos[None], n[None]
+
+
+def _closest_on_segment(p, a, b):
+    ab = b - a
+    t = jnp.clip(jnp.dot(p - a, ab) / (jnp.dot(ab, ab) + 1e-12), 0.0, 1.0)
+    return a + t * ab
+
+
+def sphere_capsule(xp1, xm1, s1, xp2, xm2, s2):
+    r1 = s1[0]
+    r2, hh = s2[0], s2[1]
+    axis = xm2[:, 2]
+    closest = _closest_on_segment(xp1, xp2 - axis * hh, xp2 + axis * hh)
+    dvec = closest - xp1
+    dist_c = jnp.linalg.norm(dvec) + 1e-12
+    n = dvec / dist_c
+    dist = dist_c - r1 - r2
+    pos = xp1 + n * (r1 + 0.5 * dist)
+    return dist[None], pos[None], n[None]
+
+
+def sphere_box(xp1, xm1, s1, xp2, xm2, s2):
+    r = s1[0]
+    # sphere center in box frame
+    local = xm2.T @ (xp1 - xp2)
+    clamped = jnp.clip(local, -s2, s2)
+    inside = jnp.all(jnp.abs(local) < s2)
+    # if inside, push to nearest face
+    face_dist = s2 - jnp.abs(local)
+    k = jnp.argmin(face_dist)
+    push = clamped.at[k].set(jnp.sign(local[k]) * s2[k])
+    closest_local = jnp.where(inside, push, clamped)
+    closest = xp2 + xm2 @ closest_local
+    dvec = closest - xp1
+    dn = jnp.linalg.norm(dvec) + 1e-12
+    n = jnp.where(inside, -dvec / dn, dvec / dn)
+    dist = jnp.where(inside, -(dn + r), dn - r)
+    pos = xp1 + n * (r + 0.5 * dist)
+    return dist[None], pos[None], n[None]
+
+
+def capsule_capsule(xp1, xm1, s1, xp2, xm2, s2):
+    r1, h1 = s1[0], s1[1]
+    r2, h2 = s2[0], s2[1]
+    a0 = xp1 - xm1[:, 2] * h1
+    a1 = xp1 + xm1[:, 2] * h1
+    b0 = xp2 - xm2[:, 2] * h2
+    b1 = xp2 + xm2[:, 2] * h2
+    pa, pb = _closest_segment_segment(a0, a1, b0, b1)
+    dvec = pb - pa
+    dn = jnp.linalg.norm(dvec) + 1e-12
+    n = dvec / dn
+    dist = dn - r1 - r2
+    pos = pa + n * (r1 + 0.5 * dist)
+    return dist[None], pos[None], n[None]
+
+
+def _closest_segment_segment(a0, a1, b0, b1):
+    """Closest points between segments (standard clamped solution)."""
+    d1 = a1 - a0
+    d2 = b1 - b0
+    r = a0 - b0
+    a = jnp.dot(d1, d1) + 1e-12
+    e = jnp.dot(d2, d2) + 1e-12
+    f = jnp.dot(d2, r)
+    c = jnp.dot(d1, r)
+    b = jnp.dot(d1, d2)
+    denom = a * e - b * b
+    s = jnp.where(jnp.abs(denom) > 1e-12, jnp.clip((b * f - c * e) / denom, 0.0, 1.0), 0.0)
+    t = (b * s + f) / e
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.clip((b * t_cl - c) / a, 0.0, 1.0)
+    return a0 + d1 * s, b0 + d2 * t_cl

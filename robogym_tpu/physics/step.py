@@ -1,0 +1,132 @@
+"""forward() / step() — the TPU-native mj_forward / mj_step.
+
+The reference steps physics via `sim.step()` -> C mj_step with nsubsteps
+(/root/reference/robogym/mujoco/simulation_interface.py:176-189). Here a
+whole env step (nsubsteps substeps) is one `lax.scan` inside a single jitted
+function, vmapped over the env batch.
+
+Pipeline per substep (MuJoCo Euler pipeline order):
+  kinematics -> com quantities -> CRB/factor -> tendons -> transmission
+  -> velocity pass -> RNE bias -> actuation -> passive
+  -> collision -> constraints -> integrate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from robogym_tpu.mjcf.model import Data, JointType, Model
+from robogym_tpu.physics import actuation as actuation_lib
+from robogym_tpu.physics import constraint as constraint_lib
+from robogym_tpu.physics import smooth
+from robogym_tpu.physics.collision import driver as collision_driver
+from robogym_tpu.utils import rotation as rot
+
+
+def fwd_position(m: Model, d: Data) -> Data:
+    d = smooth.kinematics(m, d)
+    d = smooth.com_pos(m, d)
+    d = smooth.crb(m, d)
+    d = smooth.tendon(m, d)
+    d = collision_driver.collision(m, d)
+    return d
+
+
+def fwd_velocity(m: Model, d: Data):
+    d, cdofdot = smooth.com_vel(m, d)
+    d = smooth.rne(m, d, cdofdot)
+    return d
+
+
+def forward(m: Model, d: Data) -> Data:
+    """Full forward dynamics: fills every derived field incl. qacc."""
+    d = fwd_position(m, d)
+    d, moment = smooth.transmission(m, d)
+    d = fwd_velocity(m, d)
+    d = actuation_lib.actuation(m, d, moment)
+    d = smooth.passive(m, d)
+    qfrc_smooth = (
+        d.qfrc_passive + d.qfrc_actuator + d.qfrc_applied - d.qfrc_bias
+        + _xfrc_to_qfrc(m, d)
+    )
+    qacc_smooth = smooth.solve_m(d, qfrc_smooth)
+    d = d.replace(qacc_smooth=qacc_smooth)
+    d = constraint_lib.solve(m, d, qfrc_smooth)
+    return d
+
+
+def _xfrc_to_qfrc(m: Model, d: Data) -> jax.Array:
+    """Map body cartesian wrenches (xfrc_applied) into joint space."""
+    c = m.const
+    if c.nbody == 0:
+        return jnp.zeros(c.nv, d.qpos.dtype)
+    # wrench applied at body xipos: qfrc = J_rot^T torque + J_pos^T force
+    mask = jnp.asarray(c.body_dof_mask, d.qpos.dtype)  # (nbody, nv)
+    rc = d.subtree_com[c.body_rootid]                  # (nbody, 3)
+    offset = d.xipos - rc
+    # per-dof point jacobian at body com: lin + ang x offset
+    jac_lin = d.cdof[None, :, 3:] + jnp.cross(
+        d.cdof[None, :, :3], offset[:, None, :]
+    )  # (nbody, nv, 3)
+    jac_rot = jnp.broadcast_to(d.cdof[None, :, :3], jac_lin.shape)
+    torque, force = d.xfrc_applied[:, :3], d.xfrc_applied[:, 3:]
+    qfrc = jnp.einsum("bvi,bi,bv->v", jac_lin, force, mask) + jnp.einsum(
+        "bvi,bi,bv->v", jac_rot, torque, mask
+    )
+    return qfrc
+
+
+def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
+    """qpos += qvel * dt with quaternion handling (mj_integratePos)."""
+    c = m.const
+    out = qpos
+    for j in range(c.njnt):
+        jt = int(c.jnt_type[j])
+        qadr = int(c.jnt_qposadr[j])
+        dadr = int(c.jnt_dofadr[j])
+        if jt == JointType.FREE:
+            out = out.at[qadr : qadr + 3].add(qvel[dadr : dadr + 3] * dt)
+            q = rot.quat_integrate(
+                qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
+            )
+            out = out.at[qadr + 3 : qadr + 7].set(q)
+        elif jt == JointType.BALL:
+            q = rot.quat_integrate(qpos[qadr : qadr + 4], qvel[dadr : dadr + 3], dt)
+            out = out.at[qadr : qadr + 4].set(q)
+        else:
+            out = out.at[qadr].add(qvel[dadr] * dt)
+    return out
+
+
+def euler(m: Model, d: Data) -> Data:
+    """Semi-implicit Euler with implicit joint damping (MuJoCo mj_Euler):
+    qvel += dt * (M + dt*diag(damping))^-1 * qfrc_total(qvel)."""
+    dt = m.opt.timestep
+    # implicit damping stabilizes the stiff PID + damping combination
+    qfrc_total = d.qM @ d.qacc  # == qfrc_smooth + qfrc_constraint
+    M_imp = d.qM + dt * jnp.diag(m.dof_damping)
+    qacc_imp = jax.scipy.linalg.cho_solve(
+        (jax.scipy.linalg.cholesky(M_imp, lower=True), True), qfrc_total
+    )
+    qvel_new = d.qvel + dt * qacc_imp
+    qpos_new = integrate_pos(m, d.qpos, qvel_new, dt)
+    return d.replace(
+        qpos=qpos_new, qvel=qvel_new, time=d.time + dt
+    )
+
+
+def step(m: Model, d: Data) -> Data:
+    """One physics substep: forward dynamics + Euler integration."""
+    d = forward(m, d)
+    return euler(m, d)
+
+
+def step_n(m: Model, d: Data, n: int) -> Data:
+    """`n` substeps under lax.scan (the reference's sim.step(nsubsteps))."""
+
+    def body(carry, _):
+        return step(m, carry), ()
+
+    d, _ = jax.lax.scan(body, d, None, length=n)
+    return d

@@ -18,4 +18,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
+# The container pins jax_platforms programmatically (env var alone is
+# ignored) — force CPU for the test mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
