@@ -472,7 +472,12 @@ def make_data(model: Model, dtype=jnp.float32, qpos0: Optional[np.ndarray] = Non
     """Initial Data for a model (analogue of mj_makeData + qpos0)."""
     c = model.const
     nq, nv, nu, na = c.nq, c.nv, c.nu, c.na
-    ncon = int(c.pair_ncon.sum()) if c.pair_ncon.size else 0
+    if c.collision_pairs.size:
+        from robogym_tpu.physics.collision import driver as _driver
+
+        ncon = _driver.n_contact_slots(c)
+    else:
+        ncon = 0
 
     if qpos0 is None:
         qpos0 = np.asarray(model.qpos0, dtype=np.float64)

@@ -1,168 +1,333 @@
 """Collision driver: static pair table -> fixed-size Contact set.
 
-The pair table is precomputed at compile time (contype/conaffinity masks,
-weld/parent filtering, <contact> excludes — see
-robogym_tpu/mjcf/compiler.py). At runtime every pair is evaluated every step
-(static shapes; XLA batches same-type pairs into fused kernels) and contacts
-are activated by `dist < includemargin` masks — the TPU analogue of MuJoCo's
-dynamic contact array, sized like the reference's nconmax budgets
-(/root/reference/robogym/envs/dactyl/common/cube_env.py:229-243).
+TPU-first two-phase design (replaces MuJoCo's dynamic broadphase + per-pair
+narrowphase dispatch):
 
-Contact parameter mixing follows MuJoCo (mj_contactParam): solmix-weighted
-solref/solimp, elementwise-max friction, max condim/margin/gap, priority
-override.
+  1. Pairs are grouped AT COMPILE TIME by (collider class, condim): every
+     pair in a group runs the same narrowphase code and produces the same
+     facet structure, so a group is one vmapped kernel.
+  2. Per group, a cheap bounding-sphere broadphase scores all pairs, and
+     `lax.top_k` selects a fixed-size active subset (the group's contact
+     budget — the analogue of the reference's nconmax sizing, cube_env.py:
+     229-243). Narrowphase runs only on the gathered winners.
+
+Everything is static-shaped; per-env divergence is handled by masks. The
+result Contact has per-slot *traced* geom ids (gathered) but a static group
+layout: each slot's condim/facet structure is compile-time known, which the
+constraint assembler relies on.
+
+Contact parameter mixing follows MuJoCo mj_contactParam (solmix weighting,
+elementwise-max friction, priority override).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from robogym_tpu.mjcf.model import Contact, Data, GeomType, Model
+from robogym_tpu.mjcf.model import Contact, Data, GeomType, Model, ModelConst
 from robogym_tpu.physics.collision import convex as cx
 from robogym_tpu.physics.collision import primitives as prim
 
 BIG = 1e10
 
-
-def _mix_params(m: Model, g1: np.ndarray, g2: np.ndarray):
-    """Contact solref/solimp/friction/margin for pair arrays (static ids)."""
-    p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
-    m1 = m.geom_solmix[g1]
-    m2 = m.geom_solmix[g2]
-    w1 = m1 / jnp.maximum(m1 + m2, 1e-12)
-    w1 = jnp.where((m1 < 1e-12) & (m2 < 1e-12), 0.5, w1)
-    w1 = jnp.where((m1 < 1e-12) & (m2 >= 1e-12), 0.0, w1)
-    w1 = jnp.where((m2 < 1e-12) & (m1 >= 1e-12), 1.0, w1)
-    w1 = w1[:, None]
-
-    solref_mix = w1 * m.geom_solref[g1] + (1 - w1) * m.geom_solref[g2]
-    # direct (negative) solref: take elementwise min
-    direct = (m.geom_solref[g1, 0] <= 0) | (m.geom_solref[g2, 0] <= 0)
-    solref_min = jnp.minimum(m.geom_solref[g1], m.geom_solref[g2])
-    solref = jnp.where(direct[:, None], solref_min, solref_mix)
-    solimp = w1 * m.geom_solimp[g1] + (1 - w1) * m.geom_solimp[g2]
-    fric = jnp.maximum(m.geom_friction[g1], m.geom_friction[g2])
-    friction5 = jnp.stack(
-        [fric[:, 0], fric[:, 0], fric[:, 1], fric[:, 2], fric[:, 2]], axis=-1
-    )
-    margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
-    gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
-
-    # priority override
-    use1 = (p1 > p2)[:, None]
-    use2 = (p2 > p1)[:, None]
-    solref = jnp.where(use1, m.geom_solref[g1], jnp.where(use2, m.geom_solref[g2], solref))
-    solimp = jnp.where(use1, m.geom_solimp[g1], jnp.where(use2, m.geom_solimp[g2], solimp))
-    f1 = m.geom_friction[g1]
-    f2 = m.geom_friction[g2]
-    fric_p = jnp.where(use1, f1, jnp.where(use2, f2, fric))
-    friction5 = jnp.stack(
-        [fric_p[:, 0], fric_p[:, 0], fric_p[:, 1], fric_p[:, 2], fric_p[:, 2]],
-        axis=-1,
-    )
-    return solref, solimp, friction5, margin, gap
-
-
-def _geom_sup(m: Model, d: Data, gid: int):
-    """Support function + center for one geom (static id)."""
-    t = int(m.const.geom_type[gid])
-    xp, xm = d.geom_xpos[gid], d.geom_xmat[gid]
-    if t == GeomType.BOX:
-        return cx.make_box_support(xp, xm, m.geom_size[gid]), xp
-    if t == GeomType.SPHERE:
-        return cx.make_sphere_support(xp, m.geom_size[gid, 0]), xp
-    if t == GeomType.CAPSULE:
-        return cx.make_capsule_support(xp, xm, m.geom_size[gid]), xp
-    if t == GeomType.CYLINDER:
-        return cx.make_cylinder_support(xp, xm, m.geom_size[gid]), xp
-    if t == GeomType.ELLIPSOID:
-        return cx.make_ellipsoid_support(xp, xm, m.geom_size[gid]), xp
-    if t == GeomType.MESH:
-        mid = int(m.const.geom_dataid[gid])
-        sup = cx.make_hull_support(
-            xp, xm, m.mesh_convex_vert[mid], m.mesh_convex_mask[mid]
-        )
-        center = xp + xm @ m.mesh_convex_center[mid]
-        return sup, center
-    raise NotImplementedError(f"support for geom type {t}")
-
-
-_PRIM_FN = {
-    (GeomType.PLANE, GeomType.SPHERE): (prim.plane_sphere, 1),
-    (GeomType.PLANE, GeomType.CAPSULE): (prim.plane_capsule, 2),
-    (GeomType.PLANE, GeomType.BOX): (prim.plane_box, 4),
+# ncon per pair and collider kind per geom-type pair
+_PLANE_PRIM = {
+    GeomType.SPHERE: (prim.plane_sphere, 1),
+    GeomType.CAPSULE: (prim.plane_capsule, 2),
+    GeomType.BOX: (prim.plane_box, 4),
+}
+_PRIM = {
     (GeomType.SPHERE, GeomType.SPHERE): (prim.sphere_sphere, 1),
     (GeomType.SPHERE, GeomType.CAPSULE): (prim.sphere_capsule, 1),
     (GeomType.SPHERE, GeomType.BOX): (prim.sphere_box, 1),
     (GeomType.CAPSULE, GeomType.CAPSULE): (prim.capsule_capsule, 1),
 }
+_CONVEX_TYPES = (
+    GeomType.SPHERE,
+    GeomType.CAPSULE,
+    GeomType.CYLINDER,
+    GeomType.ELLIPSOID,
+    GeomType.BOX,
+    GeomType.MESH,
+)
+
+# default per-group active-pair budget (broadphase top-k size)
+DEFAULT_GROUP_CAP = 48
 
 
-def collision(m: Model, d: Data) -> Data:
-    """Fill d.contact for the static pair table."""
-    c = m.const
-    pairs = c.collision_pairs
-    npair = len(pairs)
-    dtype = d.qpos.dtype
-    if npair == 0:
-        return d
+@functools.lru_cache(maxsize=32)
+def build_groups(const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP):
+    """Compile-time grouping of the pair table.
 
-    dists: List[jax.Array] = []
-    poss: List[jax.Array] = []
-    frames: List[jax.Array] = []
-    g1s: List[int] = []
-    g2s: List[int] = []
-
-    # process pairs in table order so contact row layout is static
-    for p in range(npair):
+    Returns list of dicts with static arrays:
+      kind: 'plane_prim' | 'prim' | 'plane_convex' | 'convex'
+      fn/ncon, t1/t2, condim, g1/g2 (np arrays), K (active budget)
+    """
+    pairs = const.collision_pairs
+    groups: Dict[Tuple, Dict] = {}
+    for p in range(len(pairs)):
         g1, g2 = int(pairs[p, 0]), int(pairs[p, 1])
-        t1, t2 = int(c.geom_type[g1]), int(c.geom_type[g2])
-        ncon = int(c.pair_ncon[p])
-        key = (t1, t2)
-        if key in _PRIM_FN:
-            fn, nfn = _PRIM_FN[key]
-            dist, pos, normal = fn(
-                d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
-                d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
-            )
-        elif t1 == GeomType.PLANE and t2 == GeomType.MESH:
-            mid = int(c.geom_dataid[g2])
-            dist, pos, normal = prim.plane_convex(
-                d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
-                d.geom_xpos[g2], d.geom_xmat[g2],
-                m.mesh_convex_vert[mid], m.mesh_convex_mask[mid],
-            )
+        t1, t2 = int(const.geom_type[g1]), int(const.geom_type[g2])
+        condim = max(int(const.geom_condim[g1]), int(const.geom_condim[g2]))
+        if t1 == GeomType.PLANE:
+            if t2 in _PLANE_PRIM:
+                kind, fn, ncon = "plane_prim", _PLANE_PRIM[t2][0], _PLANE_PRIM[t2][1]
+            elif t2 == GeomType.MESH:
+                kind, fn, ncon = "plane_convex", None, 4
+            else:
+                kind, fn, ncon = "plane_convex", None, 4
+        elif (t1, t2) in _PRIM:
+            kind, fn, ncon = "prim", _PRIM[(t1, t2)][0], _PRIM[(t1, t2)][1]
+        elif t1 in _CONVEX_TYPES and t2 in _CONVEX_TYPES:
+            kind, fn, ncon = "convex", None, 1
         else:
-            sup1, c1 = _geom_sup(m, d, g1)
-            sup2, c2 = _geom_sup(m, d, g2)
-            dist, pos, normal = cx.collide_convex_refined(sup1, sup2, c1, c2)
-        # pad/trim to allocated slots
-        k = dist.shape[0]
-        if k < ncon:
-            dist, pos, normal = prim._pad(dist, pos, normal, ncon)
-        elif k > ncon:
-            dist, pos, normal = dist[:ncon], pos[:ncon], normal[:ncon]
-        dists.append(dist)
-        poss.append(pos)
-        frames.append(normal)
-        g1s.extend([g1] * ncon)
-        g2s.extend([g2] * ncon)
+            continue
+        key = (kind, t1, t2, condim)
+        grp = groups.setdefault(
+            key,
+            dict(kind=kind, fn=fn, ncon=ncon, t1=t1, t2=t2, condim=condim,
+                 g1=[], g2=[]),
+        )
+        grp["g1"].append(g1)
+        grp["g2"].append(g2)
 
-    dist = jnp.concatenate(dists)
-    pos = jnp.concatenate(poss)
-    normal = jnp.concatenate(frames)
+    out = []
+    for key in sorted(groups.keys()):
+        grp = groups[key]
+        grp["g1"] = np.asarray(grp["g1"], np.int32)
+        grp["g2"] = np.asarray(grp["g2"], np.int32)
+        n = len(grp["g1"])
+        grp["K"] = min(n, group_cap)
+        out.append(grp)
+    return out
 
-    g1_arr = np.asarray(g1s, np.int32)
-    g2_arr = np.asarray(g2s, np.int32)
-    solref, solimp, friction5, margin, gap = _mix_params(m, g1_arr, g2_arr)
+
+def geom_rbound(m: Model) -> jax.Array:
+    """Bounding-sphere radius per geom (runtime: sizes are randomizable)."""
+    c = m.const
+    t = c.geom_type
+    s = m.geom_size
+    rb = jnp.zeros(c.ngeom, s.dtype)
+    rb = jnp.where(jnp.asarray(t == GeomType.SPHERE), s[:, 0], rb)
+    rb = jnp.where(jnp.asarray(t == GeomType.CAPSULE), s[:, 0] + s[:, 1], rb)
+    rb = jnp.where(
+        jnp.asarray(t == GeomType.CYLINDER), jnp.sqrt(s[:, 0] ** 2 + s[:, 1] ** 2), rb
+    )
+    box_like = (t == GeomType.BOX) | (t == GeomType.ELLIPSOID)
+    rb = jnp.where(jnp.asarray(box_like), jnp.linalg.norm(s, axis=-1), rb)
+    if c.nmesh:
+        vert_r = jnp.linalg.norm(m.mesh_convex_vert, axis=-1)  # (nmesh, V)
+        vert_r = jnp.where(m.mesh_convex_mask > 0, vert_r, 0.0)
+        mesh_r = jnp.max(vert_r, axis=-1)  # (nmesh,)
+        mesh_ids = jnp.clip(jnp.asarray(c.geom_dataid), 0, c.nmesh - 1)
+        rb = jnp.where(jnp.asarray(t == GeomType.MESH), mesh_r[mesh_ids], rb)
+    return rb
+
+
+def _support_batch(gtype: int):
+    """Batched support function for a geom type: (data, dir (3,)) -> point."""
+    if gtype == GeomType.BOX:
+        def sup(data, direction):
+            local = data["xmat"].T @ direction
+            return data["xpos"] + data["xmat"] @ (jnp.sign(local) * data["size"])
+    elif gtype == GeomType.SPHERE:
+        def sup(data, direction):
+            n = direction / (jnp.linalg.norm(direction) + 1e-12)
+            return data["xpos"] + n * data["size"][0]
+    elif gtype == GeomType.CAPSULE:
+        def sup(data, direction):
+            n = direction / (jnp.linalg.norm(direction) + 1e-12)
+            axis = data["xmat"][:, 2]
+            return (
+                data["xpos"]
+                + jnp.sign(jnp.dot(axis, n)) * axis * data["size"][1]
+                + n * data["size"][0]
+            )
+    elif gtype == GeomType.CYLINDER:
+        def sup(data, direction):
+            n = direction / (jnp.linalg.norm(direction) + 1e-12)
+            axis = data["xmat"][:, 2]
+            ax = jnp.dot(axis, n)
+            radial = n - ax * axis
+            rn = jnp.linalg.norm(radial) + 1e-12
+            return (
+                data["xpos"]
+                + jnp.sign(ax) * axis * data["size"][1]
+                + radial / rn * data["size"][0]
+            )
+    elif gtype == GeomType.ELLIPSOID:
+        def sup(data, direction):
+            local = data["xmat"].T @ direction
+            v = data["size"] ** 2 * local
+            v = v / (jnp.linalg.norm(data["size"] * local) + 1e-12)
+            return data["xpos"] + data["xmat"] @ v
+    elif gtype == GeomType.MESH:
+        def sup(data, direction):
+            world = data["xpos"] + data["vert"] @ data["xmat"].T
+            dots = world @ direction
+            dots = jnp.where(data["mask"] > 0, dots, -BIG)
+            return world[jnp.argmax(dots)]
+    else:
+        raise NotImplementedError(f"support for type {gtype}")
+    return sup
+
+
+def _collide_convex_pair(sup1, sup2, d1, d2, c1, c2, n_refine=4):
+    """Single-point convex collision for one gathered pair (vmapped)."""
+    dtype = c1.dtype
+    d0 = c2 - c1
+    d0 = d0 / (jnp.linalg.norm(d0) + 1e-12)
+    dirs = jnp.concatenate([cx.DIRS42.astype(dtype), d0[None]], axis=0)
+
+    def sep(dd):
+        p1 = sup1(d1, dd)
+        p2 = sup2(d2, -dd)
+        return jnp.dot(dd, p1 - p2)
+
+    seps = jax.vmap(sep)(dirs)
+    k = jnp.argmin(seps)
+    n = dirs[k]
+    dist = -seps[k]
+
+    def refine(i, carry):
+        dist, n = carry
+        p1 = sup1(d1, n)
+        p2 = sup2(d2, -n)
+        w = p1 - p2
+        wn = jnp.linalg.norm(w) + 1e-12
+        n_new = jnp.where(jnp.dot(w, n) < 0, -w / wn, n)
+        gap = jnp.dot(n_new, sup1(d1, n_new) - sup2(d2, -n_new))
+        better = -gap > dist
+        return jnp.where(better, -gap, dist), jnp.where(better, n_new, n)
+
+    dist, n = jax.lax.fori_loop(0, n_refine, refine, (dist, n))
+    p1 = sup1(d1, n)
+    p2 = sup2(d2, -n)
+    pos = 0.5 * (p1 + p2)
+    return dist, pos, n
+
+
+def _gather_geom(m: Model, d: Data, gids: jax.Array, gtype: int):
+    data = dict(
+        xpos=d.geom_xpos[gids],
+        xmat=d.geom_xmat[gids],
+        size=m.geom_size[gids],
+    )
+    if gtype == GeomType.MESH:
+        mids = jnp.clip(jnp.asarray(m.const.geom_dataid)[gids], 0, m.const.nmesh - 1)
+        data["vert"] = m.mesh_convex_vert[mids]
+        data["mask"] = m.mesh_convex_mask[mids]
+        data["center"] = data["xpos"] + jnp.einsum(
+            "kij,kj->ki", data["xmat"], m.mesh_convex_center[mids]
+        )
+    else:
+        data["center"] = data["xpos"]
+    return data
+
+
+def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
+    """Fill d.contact. Slot layout is static given (const, group_cap)."""
+    c = m.const
+    if len(c.collision_pairs) == 0:
+        return d
+    dtype = d.qpos.dtype
+    groups = build_groups(c, group_cap)
+    rbound = geom_rbound(m)
+
+    all_dist, all_pos, all_frame = [], [], []
+    all_g1, all_g2 = [], []
+
+    for grp in groups:
+        g1_np, g2_np = grp["g1"], grp["g2"]
+        n = len(g1_np)
+        K, ncon = grp["K"], grp["ncon"]
+        g1 = jnp.asarray(g1_np)
+        g2 = jnp.asarray(g2_np)
+
+        # --- broadphase: bounding-sphere overlap score
+        margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
+        cdist = jnp.linalg.norm(d.geom_xpos[g2] - d.geom_xpos[g1], axis=-1)
+        if grp["kind"].startswith("plane"):
+            # distance of bounding sphere above plane
+            nrm = d.geom_xmat[g1][:, :, 2]
+            h = jnp.einsum("ki,ki->k", d.geom_xpos[g2] - d.geom_xpos[g1], nrm)
+            score = rbound[g2] + margin - h
+        else:
+            score = rbound[g1] + rbound[g2] + margin - cdist
+
+        if K < n:
+            score_k, sel = jax.lax.top_k(score, K)
+            g1k, g2k = g1[sel], g2[sel]
+            active_bp = score_k > 0
+        else:
+            g1k, g2k = g1, g2
+            active_bp = score > 0
+
+        # --- narrowphase (vmapped over the K winners)
+        t1, t2 = grp["t1"], grp["t2"]
+        if grp["kind"] == "plane_prim":
+            fn = grp["fn"]
+            dist, pos, normal = jax.vmap(
+                lambda xp1, xm1, s1, xp2, xm2, s2: fn(xp1, xm1, s1, xp2, xm2, s2)
+            )(
+                d.geom_xpos[g1k], d.geom_xmat[g1k], m.geom_size[g1k],
+                d.geom_xpos[g2k], d.geom_xmat[g2k], m.geom_size[g2k],
+            )
+        elif grp["kind"] == "prim":
+            fn = grp["fn"]
+            dist, pos, normal = jax.vmap(
+                lambda xp1, xm1, s1, xp2, xm2, s2: fn(xp1, xm1, s1, xp2, xm2, s2)
+            )(
+                d.geom_xpos[g1k], d.geom_xmat[g1k], m.geom_size[g1k],
+                d.geom_xpos[g2k], d.geom_xmat[g2k], m.geom_size[g2k],
+            )
+        elif grp["kind"] == "plane_convex":
+            data2 = _gather_geom(m, d, g2k, t2)
+            if t2 == GeomType.MESH:
+                dist, pos, normal = jax.vmap(prim.plane_convex)(
+                    d.geom_xpos[g1k], d.geom_xmat[g1k], m.geom_size[g1k],
+                    data2["xpos"], data2["xmat"], data2["vert"], data2["mask"],
+                )
+            else:
+                # treat primitive as its own hull: sample support dirs? use
+                # box corners for BOX handled in plane_prim; others: sphere
+                raise NotImplementedError
+        else:  # convex
+            sup1 = _support_batch(t1)
+            sup2 = _support_batch(t2)
+            data1 = _gather_geom(m, d, g1k, t1)
+            data2 = _gather_geom(m, d, g2k, t2)
+            dist, pos, normal = jax.vmap(
+                lambda d1, d2, c1, c2: _collide_convex_pair(sup1, sup2, d1, d2, c1, c2)
+            )(data1, data2, data1["center"], data2["center"])
+            dist, pos, normal = dist[:, None], pos[:, None], normal[:, None]
+
+        # shape: (K, ncon) / (K, ncon, 3)
+        if dist.ndim == 1:
+            dist, pos, normal = dist[:, None], pos[:, None], normal[:, None]
+        dist = jnp.where(active_bp[:, None], dist, BIG)
+
+        all_dist.append(dist.reshape(-1))
+        all_pos.append(pos.reshape(-1, 3))
+        all_frame.append(normal.reshape(-1, 3))
+        all_g1.append(jnp.repeat(g1k, ncon))
+        all_g2.append(jnp.repeat(g2k, ncon))
+
+    dist = jnp.concatenate(all_dist)
+    pos = jnp.concatenate(all_pos)
+    normal = jnp.concatenate(all_frame)
+    g1s = jnp.concatenate(all_g1)
+    g2s = jnp.concatenate(all_g2)
+
+    solref, solimp, friction5, margin, gap = _mix_params(m, g1s, g2s)
     includemargin = margin - gap
     active = dist < includemargin
 
-    # tangent frame: rows (normal, t1, t2)
     t1v = _orthogonal(normal)
     t2v = jnp.cross(normal, t1v)
     frame = jnp.stack([normal, t1v, t2v], axis=-2)
@@ -175,11 +340,57 @@ def collision(m: Model, d: Data) -> Data:
         friction=friction5.astype(dtype),
         solref=solref.astype(dtype),
         solimp=solimp.astype(dtype),
-        geom1=jnp.asarray(g1_arr),
-        geom2=jnp.asarray(g2_arr),
+        geom1=g1s.astype(jnp.int32),
+        geom2=g2s.astype(jnp.int32),
         active=active,
     )
     return d.replace(contact=contact)
+
+
+def contact_slot_layout(const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP):
+    """Static layout info per contact slot: (condim,) list matching the
+    runtime Contact row order. Used by the constraint assembler."""
+    groups = build_groups(const, group_cap)
+    condims: List[int] = []
+    for grp in groups:
+        condims.extend([grp["condim"]] * (grp["K"] * grp["ncon"]))
+    return condims
+
+
+def n_contact_slots(const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP) -> int:
+    return len(contact_slot_layout(const, group_cap))
+
+
+def _mix_params(m: Model, g1, g2):
+    """Contact solref/solimp/friction/margin for (traced) pair geom ids."""
+    p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+    m1 = m.geom_solmix[g1]
+    m2 = m.geom_solmix[g2]
+    w1 = m1 / jnp.maximum(m1 + m2, 1e-12)
+    w1 = jnp.where((m1 < 1e-12) & (m2 < 1e-12), 0.5, w1)
+    w1 = jnp.where((m1 < 1e-12) & (m2 >= 1e-12), 0.0, w1)
+    w1 = jnp.where((m2 < 1e-12) & (m1 >= 1e-12), 1.0, w1)
+    w1 = w1[:, None]
+
+    solref_mix = w1 * m.geom_solref[g1] + (1 - w1) * m.geom_solref[g2]
+    direct = (m.geom_solref[g1, 0] <= 0) | (m.geom_solref[g2, 0] <= 0)
+    solref_min = jnp.minimum(m.geom_solref[g1], m.geom_solref[g2])
+    solref = jnp.where(direct[:, None], solref_min, solref_mix)
+    solimp = w1 * m.geom_solimp[g1] + (1 - w1) * m.geom_solimp[g2]
+    fric = jnp.maximum(m.geom_friction[g1], m.geom_friction[g2])
+    margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
+    gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
+
+    use1 = (p1 > p2)[:, None]
+    use2 = (p2 > p1)[:, None]
+    solref = jnp.where(use1, m.geom_solref[g1], jnp.where(use2, m.geom_solref[g2], solref))
+    solimp = jnp.where(use1, m.geom_solimp[g1], jnp.where(use2, m.geom_solimp[g2], solimp))
+    f1, f2 = m.geom_friction[g1], m.geom_friction[g2]
+    fric = jnp.where(use1, f1, jnp.where(use2, f2, fric))
+    friction5 = jnp.stack(
+        [fric[:, 0], fric[:, 0], fric[:, 1], fric[:, 2], fric[:, 2]], axis=-1
+    )
+    return solref, solimp, friction5, margin, gap
 
 
 def _orthogonal(n: jax.Array) -> jax.Array:

@@ -7,15 +7,20 @@ optimization over qacc:
     min_x 1/2 (x - qacc_smooth)^T M (x - qacc_smooth) + sum_i cost_i(J_i x - aref_i)
 
 with per-row quadratic (equality), one-sided quadratic (limits/contacts),
-and Huber (friction loss) penalties — exactly the objective MuJoCo's Newton
-solver minimizes. Newton iterations with a fixed candidate line search:
-every env in the batch executes the same instruction stream (no
-data-dependent control flow), so the whole solve jits into batched GEMMs +
-a (nv x nv) Cholesky per iteration — MXU work.
+and Huber (friction loss) penalties — the objective MuJoCo's Newton solver
+minimizes. Fixed Newton iterations with a candidate line search: every env
+in the batch executes the same instruction stream (no data-dependent control
+flow), so the whole solve jits into batched GEMMs + an (nv x nv) Cholesky
+per iteration — MXU work.
 
-The randomizers mutate the same solref/solimp fields the reference touches
-(/root/reference/robogym/randomization/sim.py:182-314), so impedance
-semantics here mirror MuJoCo's mj_makeImpedance.
+Contact rows are emitted vectorized per condim class: the collision driver
+guarantees a static slot layout (robogym_tpu/physics/collision/driver.py
+contact_slot_layout) with traced geom ids, so jacobian construction is pure
+gather + einsum.
+
+Randomizers mutate the same solref/solimp fields the reference touches
+(/root/reference/robogym/randomization/sim.py:182-314); impedance semantics
+mirror MuJoCo's mj_makeImpedance.
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ import numpy as np
 
 from robogym_tpu.mjcf.model import Data, EqType, JointType, Model
 from robogym_tpu.physics import smooth
+from robogym_tpu.physics.collision import driver as collision_driver
 from robogym_tpu.utils import rotation as rot
 
 # row kinds
@@ -47,8 +53,9 @@ def _impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
     x = jnp.clip(jnp.abs(pos) / width, 0.0, 1.0)
     a = 1.0 / jnp.power(mid, power - 1.0)
     b = 1.0 / jnp.power(1.0 - mid, power - 1.0)
-    # MuJoCo: y = a*x^p for x<=mid; 1 - b*(1-x)^p for x>mid
-    y = jnp.where(x <= mid, a * jnp.power(x, power), 1.0 - b * jnp.power(1.0 - x, power))
+    y = jnp.where(
+        x <= mid, a * jnp.power(x, power), 1.0 - b * jnp.power(1.0 - x, power)
+    )
     return d0 + y * (dmax - d0)
 
 
@@ -56,24 +63,42 @@ def _ref_kb(solref: jax.Array, imp: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Stiffness/damping accelerations from solref (standard or direct)."""
     timeconst = solref[..., 0]
     dampratio = solref[..., 1]
-    dmax = 0.9999  # MuJoCo uses imp_max of the row; approximate with clip below
+    dmax = 0.9999
     standard = timeconst > 0
     b_std = 2.0 / jnp.maximum(dmax * timeconst, 1e-10)
     k_std = 1.0 / jnp.maximum(
         dmax * dmax * timeconst * timeconst * dampratio * dampratio, 1e-10
     )
-    b_dir = -dampratio
-    k_dir = -timeconst
-    b = jnp.where(standard, b_std, b_dir)
-    k = jnp.where(standard, k_std, k_dir)
+    b = jnp.where(standard, b_std, -dampratio)
+    k = jnp.where(standard, k_std, -timeconst)
     return k, b
 
 
-def make_efc(m: Model, d: Data):
-    """Assemble constraint rows: J (nefc, nv), aref, D, floss, kind, active.
+def _point_jac_batch(m: Model, d: Data, points: jax.Array, bodyids: jax.Array):
+    """Translational point jacobians for a batch of (point, bodyid):
+    returns (S, nv, 3)."""
+    c = m.const
+    rootid = jnp.asarray(c.body_rootid)[bodyids]
+    rc = d.subtree_com[rootid]                      # (S, 3)
+    offset = points - rc                            # (S, 3)
+    jac = d.cdof[None, :, 3:] + jnp.cross(
+        d.cdof[None, :, :3], offset[:, None, :]
+    )                                               # (S, nv, 3)
+    mask = jnp.asarray(c.body_dof_mask, d.qpos.dtype)[bodyids]  # (S, nv)
+    return jac * mask[:, :, None]
 
-    Row layout is static: [equality | dof friction | joint limits |
-    tendon limits | contact facets]. Inactive rows get D = 0.
+
+def _rot_jac_batch(m: Model, d: Data, bodyids: jax.Array):
+    c = m.const
+    mask = jnp.asarray(c.body_dof_mask, d.qpos.dtype)[bodyids]
+    return d.cdof[None, :, :3] * mask[:, :, None]   # (S, nv, 3)
+
+
+def make_efc(m: Model, d: Data):
+    """Assemble constraint rows: J (nefc, nv), aref, D, floss, kind arrays.
+
+    Row layout (static): [equality | dof friction | joint limits |
+    tendon limits | contact facets by condim class].
     """
     c = m.const
     dtype = d.qpos.dtype
@@ -87,26 +112,17 @@ def make_efc(m: Model, d: Data):
     floss_rows: List[jax.Array] = []
     active_rows: List[jax.Array] = []
 
-    one = jnp.ones((), dtype)
-
     # ---- equality constraints
     for e in range(c.neq):
         et = int(c.eq_type[e])
         o1, o2 = int(c.eq_obj1id[e]), int(c.eq_obj2id[e])
         act = m.eq_active[e] > 0
         if et == EqType.WELD:
-            # relative pose of body2 in body1 = eq_data[3:10] (anchor in 0:3)
-            # rows: 3 position + 3 rotation
-            anchor = m.eq_data[e, 0:3]
             relpos = m.eq_data[e, 3:6]
             relquat = m.eq_data[e, 6:10]
-            p1 = d.xpos[o1]
-            p2 = d.xpos[o2]
-            # target: body1 pose composed with relpose
-            target_pos = p1 + d.xmat[o1] @ relpos
+            target_pos = d.xpos[o1] + d.xmat[o1] @ relpos
             pos_err = d.xpos[o2] - target_pos
-            target_quat = rot.quat_mul(d.xquat[o1], relquat)
-            # rotational error: 2 * vec part of (q2 * target^-1)
+            target_quat = rot.quat_mul(d.xquat[o1], rot.quat_unit(relquat))
             qerr = rot.quat_mul(d.xquat[o2], rot.quat_conjugate(target_quat))
             rot_err = 2.0 * qerr[1:]
             Jp1 = smooth.point_jacobian(m, d, d.xpos[o2], o1)
@@ -116,14 +132,10 @@ def make_efc(m: Model, d: Data):
             for k in range(3):
                 J_rows.append((Jp2 - Jp1)[k])
                 pos_rows.append(pos_err[k])
-                solref_rows.append(m.eq_solref[e])
-                solimp_rows.append(m.eq_solimp[e])
-                kind_rows.append(EQ)
-                floss_rows.append(jnp.zeros((), dtype))
-                active_rows.append(act)
             for k in range(3):
                 J_rows.append((Jr2 - Jr1)[k])
                 pos_rows.append(rot_err[k])
+            for _ in range(6):
                 solref_rows.append(m.eq_solref[e])
                 solimp_rows.append(m.eq_solimp[e])
                 kind_rows.append(EQ)
@@ -134,7 +146,6 @@ def make_efc(m: Model, d: Data):
             point = d.xpos[o1] + d.xmat[o1] @ anchor
             Jp1 = smooth.point_jacobian(m, d, point, o1)
             Jp2 = smooth.point_jacobian(m, d, point, o2)
-            # point on body2 that should coincide: nearest representation
             pos_err = point - (d.xpos[o2] + d.xmat[o2] @ m.eq_data[e, 3:6])
             for k in range(3):
                 J_rows.append((Jp1 - Jp2)[k])
@@ -145,16 +156,19 @@ def make_efc(m: Model, d: Data):
                 floss_rows.append(jnp.zeros((), dtype))
                 active_rows.append(act)
         elif et == EqType.JOINT:
-            # qpos1 = poly(qpos2) coupling
             q1adr = int(c.jnt_qposadr[o1])
             d1adr = int(c.jnt_dofadr[o1])
             data = m.eq_data[e]
-            if o2 >= 0 and o2 < c.njnt and int(c.eq_obj2id[e]) != 0:
+            if o2 > 0:
                 q2adr = int(c.jnt_qposadr[o2])
                 d2adr = int(c.jnt_dofadr[o2])
                 dq = d.qpos[q2adr]
-                poly = data[0] + dq * (data[1] + dq * (data[2] + dq * (data[3] + dq * data[4])))
-                dpoly = data[1] + dq * (2 * data[2] + dq * (3 * data[3] + dq * 4 * data[4]))
+                poly = data[0] + dq * (
+                    data[1] + dq * (data[2] + dq * (data[3] + dq * data[4]))
+                )
+                dpoly = data[1] + dq * (
+                    2 * data[2] + dq * (3 * data[3] + dq * 4 * data[4])
+                )
                 pos_err = d.qpos[q1adr] - poly
                 J = jnp.zeros(nv, dtype).at[d1adr].set(1.0).at[d2adr].add(-dpoly)
             else:
@@ -168,10 +182,7 @@ def make_efc(m: Model, d: Data):
             floss_rows.append(jnp.zeros((), dtype))
             active_rows.append(act)
 
-    # ---- dof friction loss
-    # Row existence must be static: a row exists for every dof whose
-    # compile-time frictionloss is nonzero (randomizers scale values but
-    # don't create new nonzeros) — recorded in const.dof_has_frictionloss.
+    # ---- dof friction loss (row existence static via const table)
     for i in range(nv):
         if bool(c.dof_has_frictionloss[i]):
             J_rows.append(jnp.zeros(nv, dtype).at[i].set(1.0))
@@ -188,20 +199,16 @@ def make_efc(m: Model, d: Data):
             continue
         jt = int(c.jnt_type[j])
         if jt not in (JointType.HINGE, JointType.SLIDE):
-            continue  # ball limits unsupported (not used by reference assets)
+            continue
         qadr = int(c.jnt_qposadr[j])
         dadr = int(c.jnt_dofadr[j])
         qv = d.qpos[qadr]
         dist_lo = qv - m.jnt_range[j, 0]
         dist_hi = m.jnt_range[j, 1] - qv
-        lo_closer = dist_lo < dist_hi
         dist = jnp.minimum(dist_lo, dist_hi)
-        sign = jnp.where(lo_closer, 1.0, -1.0)
-        J = jnp.zeros(nv, dtype).at[dadr].set(1.0)
-        J = J * sign
-        pos = dist - m.jnt_margin[j]
-        J_rows.append(J)
-        pos_rows.append(pos)
+        sign = jnp.where(dist_lo < dist_hi, 1.0, -1.0)
+        J_rows.append(jnp.zeros(nv, dtype).at[dadr].set(1.0) * sign)
+        pos_rows.append(dist - m.jnt_margin[j])
         solref_rows.append(m.jnt_solref[j])
         solimp_rows.append(m.jnt_solimp[j])
         kind_rows.append(ONESIDED)
@@ -215,89 +222,115 @@ def make_efc(m: Model, d: Data):
         L = d.ten_length[t]
         dist_lo = L - m.tendon_range[t, 0]
         dist_hi = m.tendon_range[t, 1] - L
-        lo_closer = dist_lo < dist_hi
         dist = jnp.minimum(dist_lo, dist_hi)
-        sign = jnp.where(lo_closer, 1.0, -1.0)
-        pos = dist - m.tendon_margin[t]
+        sign = jnp.where(dist_lo < dist_hi, 1.0, -1.0)
         J_rows.append(d.ten_J[t] * sign)
-        pos_rows.append(pos)
+        pos_rows.append(dist - m.tendon_margin[t])
         solref_rows.append(m.tendon_solref[t])
         solimp_rows.append(m.tendon_solimp[t])
         kind_rows.append(ONESIDED)
         floss_rows.append(jnp.zeros((), dtype))
         active_rows.append(dist < m.tendon_margin[t])
 
-    # ---- contacts (pyramidal facets)
+    n_scalar = len(J_rows)
+    if n_scalar:
+        J_scalar = jnp.stack(J_rows)
+        pos_scalar = jnp.stack(pos_rows)
+        solref_scalar = jnp.stack(solref_rows)
+        solimp_scalar = jnp.stack(solimp_rows)
+        floss_scalar = jnp.stack(floss_rows)
+        active_scalar = jnp.stack(active_rows)
+    else:
+        J_scalar = jnp.zeros((0, nv), dtype)
+        pos_scalar = jnp.zeros((0,), dtype)
+        solref_scalar = jnp.zeros((0, 2), dtype)
+        solimp_scalar = jnp.zeros((0, 5), dtype)
+        floss_scalar = jnp.zeros((0,), dtype)
+        active_scalar = jnp.zeros((0,), bool)
+    kind_scalar = np.asarray(kind_rows, np.int32)
+
+    # ---- contacts: vectorized per condim class
     con = d.contact
     ncon = con.dist.shape[0]
-    contact_row_of_con: List[Tuple[int, int]] = []  # (row index, ncon facets)
-    geom_bodyid = c.geom_bodyid
-    # static geom ids per contact slot, from the compile-time pair table
-    slot_geoms: List[Tuple[int, int]] = []
-    for p in range(len(c.collision_pairs)):
-        for _ in range(int(c.pair_ncon[p])):
-            slot_geoms.append((int(c.collision_pairs[p, 0]), int(c.collision_pairs[p, 1])))
-    assert len(slot_geoms) == ncon, (len(slot_geoms), ncon)
-    for i in range(ncon):
-        g1, g2 = slot_geoms[i]
-        b1, b2 = int(geom_bodyid[g1]), int(geom_bodyid[g2])
-        condim = max(int(c.geom_condim[g1]), int(c.geom_condim[g2]))
-        n = con.frame[i, 0]
-        t1 = con.frame[i, 1]
-        t2 = con.frame[i, 2]
-        Jp1 = smooth.point_jacobian(m, d, con.pos[i], b1)
-        Jp2 = smooth.point_jacobian(m, d, con.pos[i], b2)
-        Jrel = Jp2 - Jp1  # (3, nv)
-        Jn = n @ Jrel
-        pos = con.dist[i] - con.includemargin[i]
-        act = con.active[i]
-        row0 = len(J_rows)
-        if condim == 1:
-            J_rows.append(Jn)
-            pos_rows.append(pos)
-            solref_rows.append(con.solref[i])
-            solimp_rows.append(con.solimp[i])
-            kind_rows.append(ONESIDED)
-            floss_rows.append(jnp.zeros((), dtype))
-            active_rows.append(act)
-        else:
-            tangents = [t1 @ Jrel, t2 @ Jrel]
-            mus = [con.friction[i, 0], con.friction[i, 1]]
-            if condim >= 4:
-                # torsional: rotation about normal
-                Jr1 = smooth.rotation_jacobian(m, d, b1)
-                Jr2 = smooth.rotation_jacobian(m, d, b2)
-                tangents.append(n @ (Jr2 - Jr1))
-                mus.append(con.friction[i, 2])
-            if condim == 6:
-                Jr1 = smooth.rotation_jacobian(m, d, b1)
-                Jr2 = smooth.rotation_jacobian(m, d, b2)
-                tangents.append(t1 @ (Jr2 - Jr1))
-                tangents.append(t2 @ (Jr2 - Jr1))
-                mus.append(con.friction[i, 3])
-                mus.append(con.friction[i, 4])
-            for Jt, mu in zip(tangents, mus):
-                for s in (1.0, -1.0):
-                    J_rows.append(Jn + s * mu * Jt)
-                    pos_rows.append(pos)
-                    solref_rows.append(con.solref[i])
-                    solimp_rows.append(con.solimp[i])
-                    kind_rows.append(ONESIDED)
-                    floss_rows.append(jnp.zeros((), dtype))
-                    active_rows.append(act)
-        contact_row_of_con.append((row0, len(J_rows) - row0))
+    J_con_list, pos_con_list = [], []
+    solref_con_list, solimp_con_list = [], []
+    active_con_list = []
+    contact_slices: List[Tuple[np.ndarray, int]] = []  # (slot idx array, nfacet)
 
-    nefc = len(J_rows)
-    if nefc == 0:
-        return None
+    if ncon:
+        condims = np.asarray(collision_driver.contact_slot_layout(c), np.int32)
+        assert len(condims) == ncon, (len(condims), ncon)
+        geom_bodyid = jnp.asarray(c.geom_bodyid)
+        for cd in sorted(set(condims.tolist())):
+            idx = np.nonzero(condims == cd)[0]
+            S = len(idx)
+            idx_j = jnp.asarray(idx)
+            pos_c = con.pos[idx_j]              # (S, 3)
+            frame_c = con.frame[idx_j]          # (S, 3, 3)
+            dist_c = con.dist[idx_j]
+            margin_c = con.includemargin[idx_j]
+            fric_c = con.friction[idx_j]
+            b1 = geom_bodyid[con.geom1[idx_j]]
+            b2 = geom_bodyid[con.geom2[idx_j]]
+            Jp1 = _point_jac_batch(m, d, pos_c, b1)   # (S, nv, 3)
+            Jp2 = _point_jac_batch(m, d, pos_c, b2)
+            Jrel = Jp2 - Jp1
+            Jn = jnp.einsum("si,svi->sv", frame_c[:, 0], Jrel)  # (S, nv)
+            pos_row = dist_c - margin_c
+            act = con.active[idx_j]
+            if cd == 1:
+                rows = Jn[:, None, :]                         # (S, 1, nv)
+                nfacet = 1
+            else:
+                Jt1 = jnp.einsum("si,svi->sv", frame_c[:, 1], Jrel)
+                Jt2 = jnp.einsum("si,svi->sv", frame_c[:, 2], Jrel)
+                facets = [
+                    Jn + fric_c[:, 0:1] * Jt1,
+                    Jn - fric_c[:, 0:1] * Jt1,
+                    Jn + fric_c[:, 1:2] * Jt2,
+                    Jn - fric_c[:, 1:2] * Jt2,
+                ]
+                if cd >= 4:
+                    Jr = _rot_jac_batch(m, d, b2) - _rot_jac_batch(m, d, b1)
+                    Jtn = jnp.einsum("si,svi->sv", frame_c[:, 0], Jr)
+                    facets += [
+                        Jn + fric_c[:, 2:3] * Jtn,
+                        Jn - fric_c[:, 2:3] * Jtn,
+                    ]
+                if cd == 6:
+                    Jr1_ = jnp.einsum("si,svi->sv", frame_c[:, 1], Jr)
+                    Jr2_ = jnp.einsum("si,svi->sv", frame_c[:, 2], Jr)
+                    facets += [
+                        Jn + fric_c[:, 3:4] * Jr1_,
+                        Jn - fric_c[:, 3:4] * Jr1_,
+                        Jn + fric_c[:, 4:5] * Jr2_,
+                        Jn - fric_c[:, 4:5] * Jr2_,
+                    ]
+                rows = jnp.stack(facets, axis=1)              # (S, F, nv)
+                nfacet = rows.shape[1]
+            J_con_list.append(rows.reshape(S * nfacet, nv))
+            pos_con_list.append(jnp.repeat(pos_row, nfacet))
+            solref_con_list.append(jnp.repeat(con.solref[idx_j], nfacet, axis=0))
+            solimp_con_list.append(jnp.repeat(con.solimp[idx_j], nfacet, axis=0))
+            active_con_list.append(jnp.repeat(act, nfacet))
+            contact_slices.append((idx, nfacet))
 
-    J = jnp.stack(J_rows)                       # (nefc, nv)
-    pos = jnp.stack(pos_rows)
-    solref = jnp.stack(solref_rows)
-    solimp = jnp.stack(solimp_rows)
-    kind = np.asarray(kind_rows, np.int32)
-    floss = jnp.stack(floss_rows)
-    active = jnp.stack(active_rows)
+    if J_con_list:
+        J = jnp.concatenate([J_scalar] + J_con_list)
+        pos = jnp.concatenate([pos_scalar] + pos_con_list)
+        solref = jnp.concatenate([solref_scalar] + solref_con_list)
+        solimp = jnp.concatenate([solimp_scalar] + solimp_con_list)
+        n_con_rows = sum(x.shape[0] for x in J_con_list)
+        floss = jnp.concatenate([floss_scalar, jnp.zeros(n_con_rows, dtype)])
+        active = jnp.concatenate([active_scalar] + active_con_list)
+        kind = np.concatenate(
+            [kind_scalar, np.full(n_con_rows, ONESIDED, np.int32)]
+        )
+    else:
+        if n_scalar == 0:
+            return None
+        J, pos, solref, solimp = J_scalar, pos_scalar, solref_scalar, solimp_scalar
+        floss, active, kind = floss_scalar, active_scalar, kind_scalar
 
     imp = _impedance(solimp, pos)
     k_ref, b_ref = _ref_kb(solref, imp)
@@ -312,7 +345,7 @@ def make_efc(m: Model, d: Data):
 
     return dict(
         J=J, aref=aref, D=Dmat, floss=floss, kind=kind,
-        contact_rows=contact_row_of_con,
+        n_scalar=n_scalar, contact_slices=contact_slices, ncon=ncon,
     )
 
 
@@ -334,7 +367,6 @@ def solve(m: Model, d: Data, qfrc_smooth: jax.Array) -> Data:
     M = d.qM
 
     def force_and_weight(jar):
-        """Per-row penalty derivative (force = -deriv) and Hessian weight."""
         quad_active = is_eq | (is_one & (jar < 0))
         f_quad = D * jar * quad_active
         f_fric = jnp.clip(D * jar, -floss, floss) * is_fric
@@ -348,12 +380,16 @@ def solve(m: Model, d: Data, qfrc_smooth: jax.Array) -> Data:
         base = 0.5 * dx @ (M @ dx)
         quad_active = is_eq | (is_one & (jar < 0))
         c_quad = 0.5 * D * jar * jar * quad_active
-        # Huber
         absDjar = jnp.abs(D * jar)
         inside = absDjar < floss
-        c_fric = jnp.where(
-            inside, 0.5 * D * jar * jar, floss * jnp.abs(jar) - 0.5 * floss * floss / jnp.maximum(D, 1e-12)
-        ) * is_fric
+        c_fric = (
+            jnp.where(
+                inside,
+                0.5 * D * jar * jar,
+                floss * jnp.abs(jar) - 0.5 * floss * floss / jnp.maximum(D, 1e-12),
+            )
+            * is_fric
+        )
         return base + jnp.sum(c_quad + c_fric)
 
     x = d.qacc_smooth
@@ -366,7 +402,6 @@ def solve(m: Model, d: Data, qfrc_smooth: jax.Array) -> Data:
         H = M + (J.T * w) @ J + 1e-10 * eye
         L = jax.scipy.linalg.cholesky(H, lower=True)
         p = -jax.scipy.linalg.cho_solve((L, True), grad)
-        # fixed candidate line search (branch-free)
         alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.02], dtype)
         costs = jax.vmap(lambda a: cost_fn(x + a * p))(alphas)
         best = jnp.argmin(costs)
@@ -382,13 +417,14 @@ def solve(m: Model, d: Data, qfrc_smooth: jax.Array) -> Data:
     qfrc_constraint = J.T @ f
 
     # contact diagnostics: normal force per contact = sum of its facet forces
-    ncon = d.contact.dist.shape[0]
-    if efc["contact_rows"]:
-        efc_force_contact = jnp.stack(
-            [jnp.sum(f[row0 : row0 + nrows]) for row0, nrows in efc["contact_rows"]]
-        )
-    else:
-        efc_force_contact = jnp.zeros(ncon, dtype)
+    ncon = efc["ncon"]
+    efc_force_contact = jnp.zeros(max(ncon, d.contact.dist.shape[0]), dtype)
+    row0 = efc["n_scalar"]
+    for idx, nfacet in efc["contact_slices"]:
+        S = len(idx)
+        block = f[row0 : row0 + S * nfacet].reshape(S, nfacet).sum(axis=1)
+        efc_force_contact = efc_force_contact.at[jnp.asarray(idx)].set(block)
+        row0 += S * nfacet
 
     return d.replace(
         qacc=x,
