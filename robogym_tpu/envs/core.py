@@ -1,0 +1,168 @@
+"""Functional environment core — the TPU-native RobotEnv.
+
+The reference RobotEnv (/root/reference/robogym/robot_env.py:328-1143) is a
+stateful gym.Env around one MjSim. Here an environment is a *pure function
+pair* over an explicit state pytree:
+
+    env.reset(key)          -> (EnvState, obs)
+    env.step(state, action) -> (EnvState, obs, reward[3], done, info)
+
+vmapped to thousands of envs and pjit-sharded over a device mesh. The reward
+triple [env_reward, goal_distance_reward - penalty, success_reward] and the
+multi-goal bookkeeping replicate MultiGoalTracker.process
+(/root/reference/robogym/utils/multi_goal_tracker.py:157-241): consecutive
+success counting with a sampled hold duration, per-goal timeout -> done, goal
+resample on success within the same episode, trial success after
+`successes_needed` goals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robogym_tpu.mjcf.model import Data, Model
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrackerState:
+    """Vectorized MultiGoalTracker state (multi_goal_tracker.py:96-155)."""
+
+    steps: jax.Array                       # i32 () total env steps this episode
+    steps_since_last_goal: jax.Array       # i32
+    consecutive_successes: jax.Array       # i32
+    successes_so_far: jax.Array            # i32
+    success_steps_required: jax.Array      # i32 sampled hold duration
+    success_and_no_goal_reset: jax.Array   # bool
+    trial_success: jax.Array               # bool
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def zero(cls):
+        z = jnp.zeros((), jnp.int32)
+        return cls(
+            steps=z, steps_since_last_goal=z, consecutive_successes=z,
+            successes_so_far=z, success_steps_required=jnp.ones((), jnp.int32),
+            success_and_no_goal_reset=jnp.zeros((), bool),
+            trial_success=jnp.zeros((), bool),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EnvState:
+    """Complete per-env state: physics + goal + tracker + RNG."""
+
+    physics: Data
+    goal: Any                    # goal pytree (env-specific dict)
+    goal_aux: Any                # generator carry (e.g. last goal joint pos)
+    prev_goal_distance: Any      # dict of scalars
+    tracker: TrackerState
+    key: jax.Array               # PRNG key
+    t: jax.Array                 # i32 env step count
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConstants:
+    """Static env configuration (RobotEnvConstants analogue,
+    robot_env.py:111-195). Only fields used on the TPU path."""
+
+    mujoco_substeps: int = 10
+    mujoco_timestep: float = 0.002
+    success_reward: float = 5.0
+    successes_needed: int = 5
+    max_timesteps_per_goal: Optional[int] = None
+    success_pause_range_s: Tuple[float, float] = (0.0, 0.0)
+    relative_action: bool = True
+    n_action_bins: int = 11
+    max_position_change: Optional[float] = None
+    randomize: bool = True
+    use_goal_distance_reward: bool = True
+
+    @property
+    def step_duration(self) -> float:
+        return self.mujoco_substeps * self.mujoco_timestep
+
+
+def sample_success_steps_required(
+    key: jax.Array, constants: EnvConstants
+) -> jax.Array:
+    """Sampled success-hold steps (multi_goal_tracker.py:84-94)."""
+    lo_s, hi_s = constants.success_pause_range_s
+    dt = constants.step_duration
+    lo = max(1.0, lo_s / dt)
+    hi = max(1.0, hi_s / dt)
+    u = jax.random.uniform(key, (), minval=lo, maxval=hi)
+    return jnp.asarray(jnp.round(u), jnp.int32)
+
+
+def tracker_process(
+    tracker: TrackerState,
+    constants: EnvConstants,
+    is_successful: jax.Array,
+    solved: jax.Array,
+) -> Tuple[TrackerState, jax.Array, jax.Array, jax.Array]:
+    """One step of MultiGoalTracker.process (multi_goal_tracker.py:157-241),
+    vectorizable. Returns (tracker', success_reward, done, need_new_goal)."""
+    steps = tracker.steps + 1
+    ssg = tracker.steps_since_last_goal + 1
+    consec = jnp.where(is_successful, tracker.consecutive_successes + 1, 0)
+
+    goal_hold_reached = (consec >= tracker.success_steps_required) & (
+        ~tracker.success_and_no_goal_reset
+    )
+    success_reward = jnp.where(goal_hold_reached, constants.success_reward, 0.0)
+    successes = tracker.successes_so_far + goal_hold_reached.astype(jnp.int32)
+
+    timeout = (
+        (ssg >= constants.max_timesteps_per_goal)
+        if constants.max_timesteps_per_goal is not None
+        else jnp.zeros((), bool)
+    )
+    done = timeout & ~goal_hold_reached
+
+    pending = tracker.success_and_no_goal_reset | goal_hold_reached
+    # min_timesteps_per_goal defaults to 0 in the reference -> fires same step
+    fire = pending
+    trial_success = fire & ((successes >= constants.successes_needed) | solved)
+    done = done | trial_success
+    need_new_goal = fire & ~trial_success
+
+    tracker = TrackerState(
+        steps=steps,
+        steps_since_last_goal=jnp.where(need_new_goal | trial_success, 0, ssg),
+        consecutive_successes=consec,
+        successes_so_far=successes,
+        success_steps_required=tracker.success_steps_required,
+        success_and_no_goal_reset=pending & ~fire,
+        trial_success=trial_success,
+    )
+    return tracker, success_reward, done, need_new_goal
+
+
+def goal_distance_sum(dist: Dict[str, jax.Array]) -> jax.Array:
+    """sum over threshold keys (robot_env.py:550-559)."""
+    total = 0.0
+    for k in sorted(dist.keys()):
+        total = total + jnp.sum(dist[k])
+    return total
+
+
+def is_successful(
+    dist: Dict[str, jax.Array], thresholds: Dict[str, float]
+) -> jax.Array:
+    """all(goal_distance < threshold) (robot_env.py:569-575)."""
+    ok = jnp.asarray(True)
+    for k, thr in thresholds.items():
+        ok = ok & jnp.all(dist[k] < thr)
+    return ok
