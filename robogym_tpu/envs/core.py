@@ -58,7 +58,14 @@ class TrackerState:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EnvState:
-    """Complete per-env state: physics + goal + tracker + RNG."""
+    """Complete per-env state: physics + goal + tracker + RNG.
+
+    `model_fields` carries per-episode randomized Model fields (gravity,
+    gains, friction, ...) as a small dict pytree — the TPU replacement for
+    the reference's per-reset MjModel mutation (randomization/sim.py,
+    wrappers/randomizations.py). Only the randomized arrays are per-env;
+    the full Model stays broadcast under vmap.
+    """
 
     physics: Data
     goal: Any                    # goal pytree (env-specific dict)
@@ -67,9 +74,24 @@ class EnvState:
     tracker: TrackerState
     key: jax.Array               # PRNG key
     t: jax.Array                 # i32 env step count
+    model_fields: Any = None     # dict: Model field name -> overridden array
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
+
+
+def apply_model_fields(model: Model, fields) -> Model:
+    """Overlay per-episode randomized fields onto the static Model.
+    Keys are Model field names; `"opt:<name>"` addresses Option fields."""
+    if not fields:
+        return model
+    plain = {k: v for k, v in fields.items() if not k.startswith("opt:")}
+    opt = {k[4:]: v for k, v in fields.items() if k.startswith("opt:")}
+    if plain:
+        model = model.replace(**plain)
+    if opt:
+        model = model.replace(opt=model.opt.replace(**opt))
+    return model
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,211 @@
+"""Dactyl locked-cube flip environment (TPU build).
+
+Functional re-implementation of the reference locked env
+(/root/reference/robogym/envs/dactyl/locked.py): Shadow Hand reorients a
+rigid textured cube to sampled axis-aligned ("parallel") orientation goals.
+
+Reference semantics preserved:
+- goal generation: LockedParallelGoal (goals/locked_parallel.py:32-80) —
+  uniform z-aligned quat x random cube-group quat; distance =
+  quat_magnitude(quat_difference(goal, cube)); success at 0.4 rad
+  (locked.py:59 success_threshold).
+- episode: 50 successes needed, 400 steps/goal timeout
+  (common/cube_env.py:67-78), drop detection done+drop_reward
+  (wrappers/cube.py:106 StopOnFallWrapper folded into the jitted step).
+- reset: zero-ctrl settle, pose wiggle/uniform quat, random warmup steps,
+  retry until on palm (locked.py:197-225, cube_env.py:330-355).
+
+The whole env step (nsubsteps physics + goal bookkeeping) is one jitted pure
+function; batch via vmap, shard via pjit (robogym_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robogym_tpu.envs import core
+from robogym_tpu.envs.dactyl import cube_env
+from robogym_tpu.mjcf.model import Data
+from robogym_tpu.physics import step as physics
+from robogym_tpu.robot import shadow_hand as hand
+from robogym_tpu.utils import rotation as rot
+
+
+@dataclasses.dataclass(frozen=True)
+class LockedEnvConstants(cube_env.DactylCubeEnvConstants):
+    """(locked.py:51-68)."""
+
+    success_threshold_cube_quat: float = 0.4
+    goal_generation: str = "state"
+
+
+class LockedEnv(cube_env.CubeEnvBase):
+    """Pure-function locked-cube env. reset(key) / step(state, action)."""
+
+    CUBE_XML = "rubik/rubik_locked.xml"
+
+    def __init__(
+        self,
+        constants: Optional[LockedEnvConstants] = None,
+        dtype=jnp.float32,
+    ):
+        super().__init__(constants or LockedEnvConstants(), dtype=dtype)
+
+    # ------------------------------------------------------------------
+    # goal generation (LockedParallelGoal)
+    # ------------------------------------------------------------------
+
+    def _next_goal(self, key: jax.Array, d: Data) -> Dict[str, jax.Array]:
+        goal_quat = cube_env.sample_parallel_goal_quat(key, self.dtype)
+        return {"cube_quat": goal_quat}
+
+    def _goal_distance(self, goal, d: Data) -> Dict[str, jax.Array]:
+        rel = rot.quat_difference(goal["cube_quat"], cube_env.cube_quat(self.cube, d))
+        return {"cube_quat": rot.quat_magnitude(rel)}
+
+    @property
+    def _thresholds(self) -> Dict[str, float]:
+        return {"cube_quat": self.constants.success_threshold_cube_quat}
+
+    # ------------------------------------------------------------------
+    # env API
+    # ------------------------------------------------------------------
+
+    def reset(self, key: jax.Array) -> Tuple[core.EnvState, Dict[str, jax.Array]]:
+        k_phys, k_goal, k_pause, k_state = jax.random.split(key, 4)
+        d = self.reset_physics(k_phys)
+        goal = self._next_goal(k_goal, d)
+        tracker = core.TrackerState.zero().replace(
+            success_steps_required=core.sample_success_steps_required(
+                k_pause, self.constants
+            )
+        )
+        state = core.EnvState(
+            physics=d,
+            goal=goal,
+            goal_aux=jnp.zeros((), self.dtype),
+            prev_goal_distance=self._goal_distance(goal, d),
+            tracker=tracker,
+            key=k_state,
+            t=jnp.zeros((), jnp.int32),
+        )
+        return state, self._observe(state)
+
+    def step(
+        self, state: core.EnvState, action: jax.Array
+    ) -> Tuple[core.EnvState, Dict[str, jax.Array], jax.Array, jax.Array, Dict]:
+        cst = self.constants
+        m = core.apply_model_fields(self.model, state.model_fields)
+        action = jnp.clip(action, -1.0, 1.0).astype(self.dtype)
+
+        d = state.physics
+        ctrl = hand.denormalize_position_control(
+            self.hand, m, d, action,
+            relative_action=cst.relative_action,
+            max_position_change=cst.max_position_change,
+        )
+        d = d.replace(ctrl=ctrl)
+        d = physics.step_n(m, d, cst.mujoco_substeps)
+
+        dist = self._goal_distance(state.goal, d)
+        goal_distance_reward = core.goal_distance_sum(
+            state.prev_goal_distance
+        ) - core.goal_distance_sum(dist)
+        successful = core.is_successful(dist, self._thresholds)
+
+        tracker, success_reward, done, need_new_goal = core.tracker_process(
+            state.tracker, cst, successful, jnp.zeros((), bool)
+        )
+
+        # StopOnFallWrapper (wrappers/cube.py:106-150): drop -> done + penalty
+        env_reward = jnp.zeros((), self.dtype)
+        if cst.stop_on_fall:
+            fallen = ~cube_env.is_on_palm(self.cube, d)
+            done = done | fallen
+            env_reward = jnp.where(fallen, cst.drop_reward, 0.0).astype(self.dtype)
+
+        key, k_goal, k_pause = jax.random.split(state.key, 3)
+
+        def resample(_):
+            goal = self._next_goal(k_goal, d)
+            req = core.sample_success_steps_required(k_pause, cst)
+            return goal, req
+
+        def keep(_):
+            return state.goal, tracker.success_steps_required
+
+        goal, succ_req = jax.lax.cond(need_new_goal, resample, keep, None)
+        tracker = tracker.replace(
+            success_steps_required=succ_req,
+            consecutive_successes=jnp.where(
+                need_new_goal, 0, tracker.consecutive_successes
+            ),
+        )
+        dist_after = jax.lax.cond(
+            need_new_goal,
+            lambda _: self._goal_distance(goal, d),
+            lambda _: dist,
+            None,
+        )
+
+        new_state = core.EnvState(
+            physics=d,
+            goal=goal,
+            goal_aux=state.goal_aux,
+            prev_goal_distance=dist_after,
+            tracker=tracker,
+            key=key,
+            t=state.t + 1,
+        )
+        reward = jnp.stack(
+            [env_reward,
+             goal_distance_reward.astype(self.dtype),
+             success_reward.astype(self.dtype)]
+        )
+        info = {
+            "successes_so_far": tracker.successes_so_far,
+            "trial_success": tracker.trial_success,
+            "steps_since_last_goal": tracker.steps_since_last_goal,
+            "goal_dist": dist["cube_quat"],
+            "is_successful": successful,
+        }
+        return new_state, self._observe(new_state), reward, done, info
+
+    def _observe(self, state: core.EnvState) -> Dict[str, jax.Array]:
+        """Default observation map (locked.py:133-147)."""
+        d = state.physics
+        dist = self._goal_distance(state.goal, d)
+        if self.constants.relative_fingertips:
+            tips = cube_env.relative_fingertip_positions(self.hand, self.model, d)
+        else:
+            tips = hand.fingertip_positions(self.hand, d)
+        return {
+            "cube_pos": cube_env.cube_pos(self.cube, d),
+            "cube_quat": cube_env.cube_quat(self.cube, d),
+            "qpos": d.qpos,
+            "qvel": d.qvel,
+            "hand_angle": hand.joint_positions(self.hand, d),
+            "fingertip_pos": tips,
+            "goal_pos": jnp.zeros(3, self.dtype),
+            "goal_quat": state.goal["cube_quat"],
+            "is_goal_achieved": core.is_successful(dist, self._thresholds)[
+                None
+            ].astype(self.dtype),
+        }
+
+
+def make_env(
+    constants: Optional[dict] = None, dtype=jnp.float32
+) -> LockedEnv:
+    """Factory mirroring the reference `make_env = LockedEnv.build`."""
+    cst = LockedEnvConstants(**(constants or {}))
+    return LockedEnv(cst, dtype=dtype)
+
+
+make_simple_env = functools.partial(make_env)

@@ -172,7 +172,7 @@ class ReachEnv:
         self, state: core.EnvState, action: jax.Array
     ) -> Tuple[core.EnvState, Dict[str, jax.Array], jax.Array, jax.Array, Dict]:
         cst = self.constants
-        m = self.model
+        m = core.apply_model_fields(self.model, state.model_fields)
         action = jnp.clip(action, -1.0, 1.0).astype(self.dtype)
 
         d = state.physics

@@ -101,6 +101,20 @@ def _floats(s: Optional[str], n: Optional[int] = None, default=None) -> np.ndarr
     return out
 
 
+
+_SOLIMP_DEFAULT = [0.9, 0.95, 0.001, 0.5, 2.0]
+
+
+def _solimp(s: Optional[str], default=None) -> np.ndarray:
+    """Parse solimp, padding short (3-element, MuJoCo<2.0 style) specs with
+    the default midpoint/power (mjc XML allows 3 or 5 values)."""
+    out = _floats(s, default=(default or _SOLIMP_DEFAULT))
+    out = np.asarray(out, np.float64)
+    if out.size < 5:
+        out = np.concatenate([out, np.asarray(_SOLIMP_DEFAULT[out.size:])])
+    return out[:5]
+
+
 def _np_quat_mul(q0, q1):
     w0, x0, y0, z0 = q0
     w1, x1, y1, z1 = q1
@@ -396,9 +410,9 @@ class _Compiler:
                 ref=ref,
                 springref=springref,
                 solref=_floats(a("solreflimit"), default=[0.02, 1.0]),
-                solimp=_floats(a("solimplimit"), default=[0.9, 0.95, 0.001, 0.5, 2.0]),
+                solimp=_solimp(a("solimplimit")),
                 solref_friction=_floats(a("solreffriction"), default=[0.02, 1.0]),
-                solimp_friction=_floats(a("solimpfriction"), default=[0.9, 0.95, 0.001, 0.5, 2.0]),
+                solimp_friction=_solimp(a("solimpfriction")),
             )
         )
 
@@ -455,7 +469,7 @@ class _Compiler:
                 margin=float(a("margin", 0.0) or 0.0),
                 gap=float(a("gap", 0.0) or 0.0),
                 solref=_floats(a("solref"), default=[0.02, 1.0]),
-                solimp=_floats(a("solimp"), default=[0.9, 0.95, 0.001, 0.5, 2.0]),
+                solimp=_solimp(a("solimp")),
                 solmix=float(a("solmix", 1.0) or 1.0),
                 priority=int(a("priority", 0) or 0),
                 rgba=rgba,
@@ -506,7 +520,7 @@ class _Compiler:
             frictionloss=float(a("frictionloss", 0.0) or 0.0),
             margin=float(a("margin", 0.0) or 0.0),
             solref=_floats(a("solreflimit"), default=[0.02, 1.0]),
-            solimp=_floats(a("solimplimit"), default=[0.9, 0.95, 0.001, 0.5, 2.0]),
+            solimp=_solimp(a("solimplimit")),
             wrap_adr=len(self.wraps),
             wrap_num=0,
         )
@@ -535,8 +549,8 @@ class _Compiler:
         a = lambda name, default=None: self.attr(node, tag, name, cls, default) \
             if self.attr(node, tag, name, cls, default) is not None \
             else self.attr(node, "general", name, cls, default)
-        gainprm = np.zeros(9)
-        biasprm = np.zeros(9)
+        gainprm = np.zeros(10)
+        biasprm = np.zeros(10)
         dynprm = np.zeros(3)
         gaintype, biastype, dyntype = GainType.FIXED, BiasType.NONE, DynType.NONE
         if tag == "general":
@@ -626,7 +640,7 @@ class _Compiler:
                 active=a("active", "true") != "false",
                 data=data,
                 solref=_floats(a("solref"), default=[0.02, 1.0]),
-                solimp=_floats(a("solimp"), default=[0.9, 0.95, 0.001, 0.5, 2.0]),
+                solimp=_solimp(a("solimp")),
             )
         )
 
@@ -1012,8 +1026,8 @@ class _Compiler:
             tendon_solimp=jnp.asarray(asnp("solimp", T, 5), dtype),
             tendon_frictionloss=jnp.asarray(asnp("frictionloss", T), dtype),
             wrap_prm=jnp.asarray(wrap_prm, dtype),
-            actuator_gainprm=jnp.asarray(asnp("gainprm", A, 9), dtype),
-            actuator_biasprm=jnp.asarray(asnp("biasprm", A, 9), dtype),
+            actuator_gainprm=jnp.asarray(asnp("gainprm", A, 10), dtype),
+            actuator_biasprm=jnp.asarray(asnp("biasprm", A, 10), dtype),
             actuator_dynprm=jnp.asarray(asnp("dynprm", A, 3), dtype),
             actuator_ctrlrange=jnp.asarray(asnp("ctrlrange", A, 2), dtype),
             actuator_forcerange=jnp.asarray(asnp("forcerange", A, 2), dtype),

@@ -360,8 +360,8 @@ class Model(_Replaceable):
     wrap_prm: jax.Array            # (nwrap,) joint coef / pulley divisor
 
     # actuators
-    actuator_gainprm: jax.Array    # (nu, 9)
-    actuator_biasprm: jax.Array    # (nu, 9)
+    actuator_gainprm: jax.Array    # (nu, 10) mjNGAIN
+    actuator_biasprm: jax.Array    # (nu, 10) mjNBIAS
     actuator_dynprm: jax.Array     # (nu, 3)
     actuator_ctrlrange: jax.Array  # (nu, 2)
     actuator_forcerange: jax.Array  # (nu, 2)

@@ -14,20 +14,40 @@ gain parameters are, in order (reference
     4 derivative gain smoothing (EMA coefficient on the derivative)
     5 error deadband
 
-Here the controller state is threaded through `Data.act` as three slots per
-PID actuator: [integral_error, previous_error, smoothed_derivative]. The
-update runs inside the jitted substep loop — one fused kernel instead of a
-Python->Cython boundary per actuator per substep.
+Controller state is threaded through `Data.act` as three slots per PID
+actuator: [integral_error, previous_error, smoothed_derivative]. The whole
+update is vectorized over actuators (static id partition by gain type) —
+one fused VPU kernel per substep instead of a Python->Cython boundary per
+actuator.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from robogym_tpu.mjcf.model import BiasType, Data, GainType, Model
+
+
+def _actuator_partition(c):
+    """Static partition of actuator ids: (pid_ids, pid_actadr, plain_ids,
+    plain_affine_mask). Cached on the ModelConst object."""
+    key = "_actuation_partition"
+    cached = getattr(c, key, None)
+    if cached is not None:
+        return cached
+    gt = np.asarray(c.actuator_gaintype)
+    bt = np.asarray(c.actuator_biastype)
+    is_pid = (gt == GainType.USER) | (bt == BiasType.USER)
+    pid_ids = np.nonzero(is_pid)[0].astype(np.int32)
+    plain_ids = np.nonzero(~is_pid)[0].astype(np.int32)
+    pid_actadr = np.asarray(c.actuator_actadr)[pid_ids].astype(np.int32)
+    plain_affine = (bt[plain_ids] == BiasType.AFFINE)
+    out = (pid_ids, pid_actadr, plain_ids, plain_affine)
+    object.__setattr__(c, key, out)
+    return out
 
 
 def actuation(m: Model, d: Data, moment: jax.Array) -> Data:
@@ -47,57 +67,60 @@ def actuation(m: Model, d: Data, moment: jax.Array) -> Data:
     )
 
     dt = m.opt.timestep
-
-    forces = []
+    pid_ids, pid_actadr, plain_ids, plain_affine = _actuator_partition(c)
+    force = jnp.zeros(c.nu, dtype)
     act_new = d.act
-    for u in range(c.nu):
-        gt = int(c.actuator_gaintype[u])
-        bt = int(c.actuator_biastype[u])
-        length = d.actuator_length[u]
-        velocity = d.actuator_velocity[u]
-        if gt == GainType.USER or bt == BiasType.USER:
-            # mujoco-py PID position servo (semantics per constants.py:36-46)
-            aadr = int(c.actuator_actadr[u])
-            kp = m.actuator_gainprm[u, 0]
-            ti = m.actuator_gainprm[u, 1]
-            imax = m.actuator_gainprm[u, 2]
-            td = m.actuator_gainprm[u, 3]
-            dsmooth = m.actuator_gainprm[u, 4]
-            deadband = m.actuator_gainprm[u, 5]
 
-            integral = d.act[aadr]
-            prev_err = d.act[aadr + 1]
-            dsm_prev = d.act[aadr + 2]
+    if len(pid_ids):
+        ids = jnp.asarray(pid_ids)
+        aadr = jnp.asarray(pid_actadr)
+        gp = m.actuator_gainprm[ids]               # (P, >=6)
+        kp, ti, imax, td, dsmooth, deadband = (
+            gp[:, 0], gp[:, 1], gp[:, 2], gp[:, 3], gp[:, 4], gp[:, 5]
+        )
+        length = d.actuator_length[ids]
 
-            error = ctrl[u] - length
-            error = jnp.where(jnp.abs(error) < deadband, 0.0, error)
+        integral = d.act[aadr]
+        prev_err = d.act[aadr + 1]
+        dsm_prev = d.act[aadr + 2]
 
-            integral = integral + error * dt
-            # clamp so the integral term (Kp * integral / Ti) stays in +-imax
-            iterm_limit = jnp.where(ti > 1e-12, imax * ti / jnp.maximum(kp, 1e-12), 0.0)
-            integral = jnp.clip(integral, -iterm_limit, iterm_limit)
+        error = ctrl[ids] - length
+        error = jnp.where(jnp.abs(error) < deadband, 0.0, error)
 
-            deriv_raw = (error - prev_err) / jnp.maximum(dt, 1e-12)
-            dsm = dsmooth * dsm_prev + (1.0 - dsmooth) * deriv_raw
+        integral = integral + error * dt
+        # clamp so the integral term (Kp * integral / Ti) stays in +-imax
+        iterm_limit = jnp.where(
+            ti > 1e-12, imax * ti / jnp.maximum(kp, 1e-12), 0.0
+        )
+        integral = jnp.clip(integral, -iterm_limit, iterm_limit)
 
-            iterm = jnp.where(ti > 1e-12, kp * integral / jnp.maximum(ti, 1e-12), 0.0)
-            f = kp * error + iterm + kp * td * dsm
+        deriv_raw = (error - prev_err) / jnp.maximum(dt, 1e-12)
+        dsm = dsmooth * dsm_prev + (1.0 - dsmooth) * deriv_raw
 
-            act_new = act_new.at[aadr].set(integral)
-            act_new = act_new.at[aadr + 1].set(error)
-            act_new = act_new.at[aadr + 2].set(dsm)
-        else:
-            gain = m.actuator_gainprm[u, 0]
-            f = gain * ctrl[u]
-            if bt == BiasType.AFFINE:
-                f = f + (
-                    m.actuator_biasprm[u, 0]
-                    + m.actuator_biasprm[u, 1] * length
-                    + m.actuator_biasprm[u, 2] * velocity
-                )
-        forces.append(f)
+        iterm = jnp.where(
+            ti > 1e-12, kp * integral / jnp.maximum(ti, 1e-12), 0.0
+        )
+        f_pid = kp * error + iterm + kp * td * dsm
 
-    force = jnp.stack(forces)
+        force = force.at[ids].set(f_pid)
+        act_new = (
+            act_new.at[aadr].set(integral)
+            .at[aadr + 1].set(error)
+            .at[aadr + 2].set(dsm)
+        )
+
+    if len(plain_ids):
+        ids = jnp.asarray(plain_ids)
+        gain = m.actuator_gainprm[ids, 0]
+        f = gain * ctrl[ids]
+        bias = (
+            m.actuator_biasprm[ids, 0]
+            + m.actuator_biasprm[ids, 1] * d.actuator_length[ids]
+            + m.actuator_biasprm[ids, 2] * d.actuator_velocity[ids]
+        )
+        f = f + jnp.where(jnp.asarray(plain_affine), bias, 0.0)
+        force = force.at[ids].set(f)
+
     flimited = jnp.asarray(c.actuator_forcelimited)
     force = jnp.where(
         flimited,

@@ -262,14 +262,54 @@ def get_parallel_rotations_180() -> np.ndarray:
     return _unique_euler_quats([0, np.pi], expect=4)
 
 
+def _np_euler2mat(euler: np.ndarray) -> np.ndarray:
+    """Host-side euler->mat (XYZ extrinsic, same convention as euler2mat)."""
+    ai, aj, ak = -euler[2], -euler[1], -euler[0]
+    si, sj, sk = np.sin(ai), np.sin(aj), np.sin(ak)
+    ci, cj, ck = np.cos(ai), np.cos(aj), np.cos(ak)
+    cc, cs = ci * ck, ci * sk
+    sc, ss = si * ck, si * sk
+    mat = np.empty((3, 3))
+    mat[0, 0] = cj * ck
+    mat[0, 1] = sj * sc - cs
+    mat[0, 2] = sj * cc + ss
+    mat[1, 0] = cj * sk
+    mat[1, 1] = sj * ss + cc
+    mat[1, 2] = sj * cs - sc
+    mat[2, 0] = -sj
+    mat[2, 1] = cj * si
+    mat[2, 2] = cj * ci
+    return mat
+
+
+def _np_mat2quat(mat: np.ndarray) -> np.ndarray:
+    """Host-side mat->quat (Shepperd's method, matches mat2quat)."""
+    Qxx, Qyx, Qzx = mat[0, 0], mat[0, 1], mat[0, 2]
+    Qxy, Qyy, Qzy = mat[1, 0], mat[1, 1], mat[1, 2]
+    Qxz, Qyz, Qzz = mat[2, 0], mat[2, 1], mat[2, 2]
+    K = np.array([
+        [Qxx - Qyy - Qzz, 0, 0, 0],
+        [Qyx + Qxy, Qyy - Qxx - Qzz, 0, 0],
+        [Qzx + Qxz, Qzy + Qyz, Qzz - Qxx - Qyy, 0],
+        [Qyz - Qzy, Qzx - Qxz, Qxy - Qyx, Qxx + Qyy + Qzz],
+    ]) / 3.0
+    vals, vecs = np.linalg.eigh(K)
+    q = vecs[[3, 0, 1, 2], np.argmax(vals)]
+    if q[0] < 0:
+        q = -q
+    return q
+
+
 def _unique_euler_quats(vals, expect: int) -> np.ndarray:
+    """Pure numpy: must not touch jnp — this runs at import time and eager
+    jnp ops would initialize the (possibly remote) default backend."""
     quats: list = []
     for e1 in vals:
         for e2 in vals:
             for e3 in vals:
                 euler = np.array([e1, e2, e3], dtype=np.float64)
-                mat = np.asarray(euler2mat(jnp.asarray(euler)), dtype=np.float64)
-                q = np.asarray(mat2quat(jnp.asarray(mat)), dtype=np.float64)
+                mat = _np_euler2mat(euler)
+                q = _np_mat2quat(mat)
                 q = np.where(np.abs(q) < 1e-9, 0.0, q)
                 if q[np.argmax(np.abs(q))] < 0:
                     q = -q
@@ -373,3 +413,16 @@ def random_unity2(key: jax.Array) -> jax.Array:
     costheta = jax.random.uniform(k2, (), minval=-1.0, maxval=1.0)
     sintheta = jnp.sqrt(jnp.maximum(1.0 - costheta**2, 0.0))
     return jnp.stack([sintheta * jnp.cos(phi), sintheta * jnp.sin(phi), costheta])
+
+
+def quat_average2(q1: jax.Array, q2: jax.Array, w1) -> jax.Array:
+    """Weighted average of two unit quaternions (weights w1, 1-w1).
+
+    Matches the reference's eigendecomposition-based `quat_average`
+    (reference rotation.py:425-445) for the two-quaternion case: sign-align
+    then normalized chordal mean, which equals the dominant eigenvector of
+    the weighted outer-product sum for two quats.
+    """
+    q2 = jnp.where(jnp.dot(q1, q2) < 0, -q2, q2)
+    avg = w1 * q1 + (1.0 - w1) * q2
+    return quat_normalize(avg)

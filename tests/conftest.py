@@ -22,3 +22,9 @@ import jax  # noqa: E402
 # ignored) — force CPU for the test mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: physics step compiles are expensive on the
+# single-core CPU runner; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
