@@ -1,0 +1,241 @@
+"""Rearrange goal generators (TPU build).
+
+Functional re-implementations of the reference generators
+(/root/reference/robogym/envs/rearrange/goals/): object_state.py
+(free-placement position+rotation goals), object_reach_goal.py,
+object_stack_goal.py, pickandplace.py. A goal is a dict pytree produced by a
+pure `next_goal(key, ...)`; distances are pure functions of (goal, Data).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robogym_tpu.envs.rearrange import simulation as sim_lib
+from robogym_tpu.mjcf.model import Data
+from robogym_tpu.utils import rotation as rot
+
+
+@dataclasses.dataclass(frozen=True)
+class GoalArgs:
+    """(goals/object_state.py:122-170 subset relevant on the TPU path)."""
+
+    randomize_goal_rot: bool = False
+    rot_randomize_type: str = "z_axis"   # z_axis | block | full
+    stabilize_goal: bool = False
+    rot_dist_type: str = "full"          # full | mod90 | mod180
+
+
+def sample_goal_positions(
+    key: jax.Array,
+    idx: sim_lib.RearrangeIndex,
+    active_mask: jax.Array,
+    object_size: jax.Array,
+    num_objects_used: int,
+    used_table_portion: float = 1.0,
+    n_candidates: int = 20,
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Rejection-sampled non-overlapping placements inside the placement
+    area — the jittable analogue of place_objects_with_no_constraint
+    (common/utils.py:832-883). Returns ((O, 3) positions, valid flag).
+
+    For each object sequentially, draw `n_candidates` uniform positions and
+    pick the first whose bounding box does not overlap previously placed
+    active objects.
+    """
+    O = idx.max_num_objects
+    lo, hi = idx.placement_bounds(num_objects_used, used_table_portion)
+    _, _, table_height = idx.table_dimensions()
+    lo = jnp.asarray(lo, dtype)
+    hi = jnp.asarray(hi, dtype)
+
+    def place_one(carry, inp):
+        placed, n_placed = carry
+        k, size, active = inp
+        cand = jax.random.uniform(
+            k, (n_candidates, 2), dtype,
+            lo[None, :2] + size[:2], hi[None, :2] - size[:2],
+        )
+        # overlap test vs already-placed (xy boxes, sizes are half-extents)
+        delta = jnp.abs(cand[:, None, :] - placed[None, :, :2])  # (C, O, 2)
+        sizes_sum = size[:2][None, None, :] + object_size[None, :, :2]
+        slot_mask = (jnp.arange(O) < n_placed)[None, :]
+        overlap = jnp.all(delta < sizes_sum, axis=-1) & slot_mask
+        ok = ~jnp.any(overlap, axis=-1)                          # (C,)
+        pick = jnp.argmax(ok)                                    # first valid
+        valid = ok[pick] | ~active
+        z = jnp.asarray(table_height, dtype) + size[2]
+        pos = jnp.concatenate([cand[pick], z[None]])
+        park = jnp.asarray(sim_lib.PARK_POSITION, dtype)
+        pos = jnp.where(active, pos, park + jnp.asarray(
+            [0.3, 0.0, 0.0], dtype) * n_placed)
+        placed = placed.at[n_placed].set(pos)
+        return (placed, n_placed + 1), valid
+
+    keys = jax.random.split(key, O)
+    (placed, _), valids = jax.lax.scan(
+        place_one,
+        (jnp.zeros((O, 3), dtype), jnp.zeros((), jnp.int32)),
+        (keys, object_size.astype(dtype), active_mask),
+    )
+    return placed, jnp.all(valids)
+
+
+def sample_goal_rotations(
+    key: jax.Array, O: int, args: GoalArgs, dtype=jnp.float32
+) -> jax.Array:
+    """(goals/object_state.py rot randomization: z_axis/block/full)."""
+    if not args.randomize_goal_rot:
+        return jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (O, 1))
+    keys = jax.random.split(key, O)
+    if args.rot_randomize_type == "z_axis":
+        return jax.vmap(lambda k: rot.uniform_z_quat(k).astype(dtype))(keys)
+    if args.rot_randomize_type == "full":
+        return jax.vmap(lambda k: rot.uniform_quat(k).astype(dtype))(keys)
+    # block: z-axis rotation times a random 90-degree cube rotation
+    from robogym_tpu.envs.dactyl.cube_env import PARALLEL_QUATS
+
+    def block_quat(k):
+        k1, k2 = jax.random.split(k)
+        zq = rot.uniform_z_quat(k1).astype(dtype)
+        pq = jnp.asarray(PARALLEL_QUATS, dtype)[
+            jax.random.randint(k2, (), 0, len(PARALLEL_QUATS))
+        ]
+        return rot.quat_mul(zq, pq)
+
+    return jax.vmap(block_quat)(keys)
+
+
+def rot_distance(
+    q1: jax.Array, q2: jax.Array, dist_type: str = "full"
+) -> jax.Array:
+    """Rotational distance per object (goals/object_state.py:142-170 and
+    utils/rotation.py): full quat distance, or mod-90/mod-180 symmetry
+    reduction for box-shaped objects."""
+    if dist_type == "full":
+        return rot.quat_magnitude(
+            rot.quat_normalize(rot.quat_difference(q1, q2))
+        )
+    # symmetry-reduced: try all symmetry quats, take the min distance
+    from robogym_tpu.envs.dactyl.cube_env import PARALLEL_QUATS
+
+    if dist_type == "mod180":
+        sym = jnp.asarray(rot.get_parallel_rotations_180(), q1.dtype)
+    else:  # mod90
+        sym = jnp.asarray(PARALLEL_QUATS, q1.dtype)
+
+    def per_obj(a, b):
+        cands = jax.vmap(lambda s: rot.quat_magnitude(
+            rot.quat_normalize(rot.quat_difference(rot.quat_mul(a, s), b))
+        ))(sym)
+        return cands.min()
+
+    return jax.vmap(per_obj)(q1, q2)
+
+
+class ObjectStateGoal:
+    """Free-placement position(+rotation) goal
+    (goals/object_state.py:173-599)."""
+
+    def __init__(self, idx: sim_lib.RearrangeIndex, args: GoalArgs = GoalArgs(),
+                 used_table_portion: float = 1.0, dtype=jnp.float32):
+        self.idx = idx
+        self.args = args
+        self.used_table_portion = used_table_portion
+        self.dtype = dtype
+
+    def next_goal(
+        self, key: jax.Array, active_mask: jax.Array, object_size: jax.Array,
+        num_objects_used: int, d: Data,
+    ) -> Dict[str, jax.Array]:
+        k_pos, k_rot = jax.random.split(key)
+        pos, valid = sample_goal_positions(
+            k_pos, self.idx, active_mask, object_size, num_objects_used,
+            self.used_table_portion, dtype=self.dtype,
+        )
+        quat = sample_goal_rotations(
+            k_rot, self.idx.max_num_objects, self.args, self.dtype
+        )
+        return {
+            "obj_pos": pos, "obj_rot": quat,
+            "goal_valid": valid,
+        }
+
+    def goal_distance(
+        self, goal: Dict[str, jax.Array], d: Data, active_mask: jax.Array
+    ) -> Dict[str, jax.Array]:
+        cur_pos = sim_lib.object_positions(self.idx, d)
+        cur_quat = sim_lib.object_quats(self.idx, d)
+        pos_dist = jnp.linalg.norm(goal["obj_pos"] - cur_pos, axis=-1)
+        rdist = rot_distance(goal["obj_rot"], cur_quat, self.args.rot_dist_type)
+        mask = active_mask.astype(pos_dist.dtype)
+        out = {"obj_pos": pos_dist * mask}
+        if self.args.randomize_goal_rot:
+            out["obj_rot"] = rdist * mask
+        else:
+            out["obj_rot"] = jnp.zeros_like(rdist)
+        return out
+
+
+class ObjectReachGoal(ObjectStateGoal):
+    """Reach the (single) object's goal position with the gripper
+    (goals/object_reach_goal.py:11-40): distance measured from the TCP."""
+
+    def __init__(self, idx, arm_idx, args: GoalArgs = GoalArgs(), **kw):
+        super().__init__(idx, args, **kw)
+        self.arm_idx = arm_idx
+
+    def goal_distance(self, goal, d, active_mask):
+        from robogym_tpu.robot import ur16e as arm_lib
+
+        tcp = arm_lib.tcp_xyz(self.arm_idx, d)
+        dist = jnp.linalg.norm(goal["obj_pos"][0] - tcp)
+        O = self.idx.max_num_objects
+        out = jnp.zeros(O, dist.dtype).at[0].set(dist)
+        return {"obj_pos": out, "obj_rot": jnp.zeros(O, dist.dtype)}
+
+
+class ObjectStackGoal(ObjectStateGoal):
+    """Stack objects into a tower over a random base position
+    (goals/object_stack_goal.py:12-60)."""
+
+    def next_goal(self, key, active_mask, object_size, num_objects_used, d):
+        goal = super().next_goal(
+            key, active_mask, object_size, num_objects_used, d
+        )
+        base = goal["obj_pos"][0]
+        O = self.idx.max_num_objects
+        heights = jnp.cumsum(
+            jnp.concatenate([jnp.zeros(1, self.dtype),
+                             2.0 * object_size[:-1, 2].astype(self.dtype)])
+        )
+        stacked = jnp.tile(base, (O, 1)).at[:, 2].add(heights)
+        pos = jnp.where(active_mask[:, None], stacked, goal["obj_pos"])
+        return dict(goal, obj_pos=pos)
+
+
+class PickAndPlaceGoal(ObjectStateGoal):
+    """Pick-and-place: first object in the air, rest on the table
+    (goals/pickandplace.py:10-30)."""
+
+    def __init__(self, idx, args: GoalArgs = GoalArgs(),
+                 height_range=(0.05, 0.25), **kw):
+        super().__init__(idx, args, **kw)
+        self.height_range = height_range
+
+    def next_goal(self, key, active_mask, object_size, num_objects_used, d):
+        k1, k2 = jax.random.split(key)
+        goal = super().next_goal(
+            k1, active_mask, object_size, num_objects_used, d
+        )
+        lift = jax.random.uniform(
+            k2, (), self.dtype, self.height_range[0], self.height_range[1]
+        )
+        pos = goal["obj_pos"].at[0, 2].add(lift)
+        return dict(goal, obj_pos=pos)

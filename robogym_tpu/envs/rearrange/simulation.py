@@ -1,0 +1,264 @@
+"""Rearrange simulation layer (TPU build).
+
+Re-implements the reference rearrange simulation
+(/root/reference/robogym/envs/rearrange/simulation/base.py:42-1070 and
+robot/ur16e/mujoco/simulation/base.py:8-167) TPU-first:
+
+- world = UR16e base XML (arm + Robotiq gripper + table) + `max_num_objects`
+  block bodies compiled ONCE with fixed topology. The reference recreates the
+  MjSim with `num_objects` bodies every reset (common/base.py:850-856); here
+  `num_objects` is per-episode DATA (an active-object mask), unused slots are
+  parked off-table, and object scale/color randomization writes Model fields.
+- no target bodies: the reference adds non-colliding target clones purely for
+  rendering (simulation/base.py:295-306); goals live in env state.
+- placement area geometry replicates simulation/base.py:981-1010.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robogym_tpu.mjcf.compiler import compile_xml
+from robogym_tpu.mjcf.model import Data, Model
+from robogym_tpu.mjcf.xml_tools import MjcfXML
+from robogym_tpu.robot.composite import RobotControlParameters
+
+# the reference parks objects via sim recreation; we park unused slots here
+PARK_POSITION = np.array([2.5, 2.5, 0.05])  # on the floor, far from the table
+
+
+def make_block_xml(name: str, size) -> MjcfXML:
+    """(reference common/utils.py:195-216 make_block)."""
+    size = np.asarray(size, np.float64)
+    if size.size == 1:
+        size = np.tile(size, 3)
+    src = f"""
+    <mujoco>
+      <worldbody>
+        <body name="{name}" pos="0.0 0.0 0.0">
+          <geom name="{name}" type="box" rgba="0.8 0.4 0.1 1.0"
+                size="{size[0]} {size[1]} {size[2]}" density="1000"/>
+          <joint name="{name}:joint" type="free"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    return MjcfXML.from_string(src)
+
+
+def build_blocks_world_xml(
+    max_num_objects: int,
+    block_size: float = 0.0254,
+    robot_control_params: Optional[RobotControlParameters] = None,
+    mujoco_timestep: float = 0.001,
+) -> MjcfXML:
+    """World composition (ur16e/mujoco/simulation/base.py:62-115 +
+    simulation/base.py:281-306)."""
+    params = robot_control_params or RobotControlParameters()
+    xml = (
+        MjcfXML.parse("robot/ur16e/base.xml")
+        .set_objects_attr(tag="option", timestep=mujoco_timestep)
+        .add_default_compiler_directive()
+    )
+    if params.is_joint_actuated():
+        xml.remove_objects_by_name("mocap_weld")
+        sub = params.arm_joint_calibration_path
+        xml.append(MjcfXML.parse(
+            f"robot/ur16e/jointspec/calibrations/{sub}/ur16e_ik_class.xml"))
+        xml.append(MjcfXML.parse(
+            f"robot/ur16e/jointspec/calibrations/{sub}/joint_actuations.xml"))
+    else:
+        xml.append(MjcfXML.parse("robot/ur16e/jointspec/ur16e_mocap_class.xml"))
+    xml.append(MjcfXML.parse("robot/ur16e/gripper_actuators.xml"))
+
+    for i in range(max_num_objects):
+        xml.append(make_block_xml(f"object{i}", block_size))
+    return xml
+
+
+@dataclasses.dataclass(frozen=True)
+class PlacementArea:
+    """(reference common/utils.py:29-35)."""
+
+    offset: Tuple[float, float, float]
+    size: Tuple[float, float, float]
+
+
+@dataclasses.dataclass(frozen=True)
+class RearrangeIndex:
+    """Static tables for the compiled rearrange world."""
+
+    max_num_objects: int
+    object_body_ids: np.ndarray      # (O,)
+    object_geom_ids: np.ndarray      # (O,)
+    object_qpos_adr: np.ndarray      # (O,) start of 7-dof free joint qpos
+    object_dof_adr: np.ndarray       # (O,) start of 6-dof free joint dofs
+    table_geom_id: int
+    table_body_id: int
+    gripper_geom_ids: np.ndarray
+    table_pos: np.ndarray            # (3,)
+    table_size: np.ndarray           # (3,) half sizes
+
+    GRIPPER_BODIES = (
+        "robot0:gripper_base", "left_gripper", "left_inner_follower",
+        "left_outer_driver", "right_gripper", "right_inner_follower",
+        "right_outer_driver",
+    )
+
+    @classmethod
+    def build(cls, model: Model, max_num_objects: int) -> "RearrangeIndex":
+        c = model.const
+        bn, gn, jn = c.names["body"], c.names["geom"], c.names["joint"]
+        body_ids, geom_ids, qpos_adr, dof_adr = [], [], [], []
+        geom_bodyid = np.asarray(c.geom_bodyid)
+        for i in range(max_num_objects):
+            b = bn[f"object{i}"]
+            body_ids.append(b)
+            geom_ids.append(gn[f"object{i}"])
+            j = jn[f"object{i}:joint"]
+            qpos_adr.append(int(c.jnt_qposadr[j]))
+            dof_adr.append(int(c.jnt_dofadr[j]))
+        grip_geoms = []
+        for gb in cls.GRIPPER_BODIES:
+            if gb in bn:
+                bid = bn[gb]
+                grip_geoms.extend(
+                    int(g) for g in np.nonzero(geom_bodyid == bid)[0]
+                )
+        tgid = gn["table"]
+        tbid = bn["table"]
+        return cls(
+            max_num_objects=max_num_objects,
+            object_body_ids=np.asarray(body_ids, np.int32),
+            object_geom_ids=np.asarray(geom_ids, np.int32),
+            object_qpos_adr=np.asarray(qpos_adr, np.int32),
+            object_dof_adr=np.asarray(dof_adr, np.int32),
+            table_geom_id=int(tgid),
+            table_body_id=int(tbid),
+            gripper_geom_ids=np.asarray(sorted(grip_geoms), np.int32),
+            table_pos=np.asarray(model.body_pos)[tbid].copy(),
+            table_size=np.asarray(model.geom_size)[tgid].copy(),
+        )
+
+    # -- geometry ---------------------------------------------------------
+    def table_dimensions(self):
+        """(simulation/base.py:905-930): (pos, half-size, height)."""
+        table_height = self.table_size[-1] + self.table_pos[-1]
+        return self.table_pos, self.table_size, table_height
+
+    def placement_area(
+        self, num_objects: int, used_table_portion: float = 1.0
+    ) -> PlacementArea:
+        """(simulation/base.py:981-1010)."""
+        table_pos, table_size, _ = self.table_dimensions()
+        table_size_x, table_size_y = table_size[:2] * 2
+        minimum_table_portion = num_objects * 0.1
+        used = float(np.clip(used_table_portion, minimum_table_portion, 1.0))
+        place_size_x = 0.5 * table_size_x * used
+        place_size_y = 0.38 * table_size_y * used
+        place_size_z = 0.26
+        offset_x = 0.5 * table_size_x - place_size_x / 2.0
+        offset_y = 0.44 * table_size_y - place_size_y / 2.0
+        offset_z = 2 * table_size[2]
+        return PlacementArea(
+            offset=(offset_x, offset_y, offset_z),
+            size=(place_size_x, place_size_y, place_size_z),
+        )
+
+    def placement_bounds(self, num_objects: int, used_table_portion: float = 1.0):
+        """World-frame (min_xyz, max_xyz) of the placement area
+        (simulation/base.py:834-845 extract_placement_area_boundary)."""
+        table_pos, table_size, _ = self.table_dimensions()
+        area = self.placement_area(num_objects, used_table_portion)
+        size = np.asarray(area.size) / 2
+        pos = np.asarray(area.offset) + table_pos - table_size + size
+        return pos - size, pos + size
+
+
+# -- batched object state access (all jittable) -----------------------------
+
+def object_positions(idx: RearrangeIndex, d: Data) -> jax.Array:
+    """(O, 3) free-joint positions (simulation/base.py get_object_pos)."""
+    adr = jnp.asarray(idx.object_qpos_adr)
+    return jax.vmap(lambda a: jax.lax.dynamic_slice(d.qpos, (a,), (3,)))(adr)
+
+
+def object_quats(idx: RearrangeIndex, d: Data) -> jax.Array:
+    adr = jnp.asarray(idx.object_qpos_adr) + 3
+    return jax.vmap(lambda a: jax.lax.dynamic_slice(d.qpos, (a,), (4,)))(adr)
+
+
+def object_velocities(idx: RearrangeIndex, d: Data) -> jax.Array:
+    adr = jnp.asarray(idx.object_dof_adr)
+    return jax.vmap(lambda a: jax.lax.dynamic_slice(d.qvel, (a,), (6,)))(adr)
+
+
+def set_object_poses(
+    idx: RearrangeIndex, d: Data, pos: jax.Array, quat: jax.Array
+) -> Data:
+    """Write (O, 3) positions + (O, 4) quats into qpos; zero object dofs."""
+    qpos = d.qpos
+    for i in range(idx.max_num_objects):
+        a = int(idx.object_qpos_adr[i])
+        qpos = jax.lax.dynamic_update_slice(qpos, pos[i].astype(qpos.dtype), (a,))
+        qpos = jax.lax.dynamic_update_slice(
+            qpos, quat[i].astype(qpos.dtype), (a + 3,)
+        )
+    qvel = d.qvel
+    for i in range(idx.max_num_objects):
+        a = int(idx.object_dof_adr[i])
+        qvel = jax.lax.dynamic_update_slice(
+            qvel, jnp.zeros(6, qvel.dtype), (a,)
+        )
+    return d.replace(qpos=qpos, qvel=qvel)
+
+
+def check_objects_off_table(
+    idx: RearrangeIndex, pos: jax.Array, margin: float = 0.1,
+    active_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """(simulation/base.py check_objects_off_table): outside the table's
+    xy-extent (with margin) or below the table top."""
+    table_pos, table_size, table_height = idx.table_dimensions()
+    min_xy = jnp.asarray(table_pos[:2] - table_size[:2] + margin, pos.dtype)
+    max_xy = jnp.asarray(table_pos[:2] + table_size[:2] - margin, pos.dtype)
+    off = (
+        (pos[:, 0] < min_xy[0]) | (pos[:, 0] > max_xy[0])
+        | (pos[:, 1] < min_xy[1]) | (pos[:, 1] > max_xy[1])
+        | (pos[:, 2] < table_height - 0.1)
+    )
+    if active_mask is not None:
+        off = off & active_mask
+    return off
+
+
+def gripper_table_contact(idx: RearrangeIndex, m: Model, d: Data) -> jax.Array:
+    """Any gripper-geom <-> table contact with force
+    (ur16e/mujoco/simulation/base.py:142-167)."""
+    con = d.contact
+    g1, g2 = con.geom1, con.geom2
+    grip = jnp.asarray(idx.gripper_geom_ids)
+    is_grip1 = jnp.isin(g1, grip)
+    is_grip2 = jnp.isin(g2, grip)
+    is_table = (g1 == idx.table_geom_id) | (g2 == idx.table_geom_id)
+    touching = con.active & is_table & (is_grip1 | is_grip2)
+    return jnp.any(touching)
+
+
+def compile_blocks_world(
+    max_num_objects: int,
+    block_size: float = 0.0254,
+    robot_control_params: Optional[RobotControlParameters] = None,
+    mujoco_timestep: float = 0.001,
+    dtype=jnp.float32,
+) -> Tuple[Model, RearrangeIndex]:
+    xml = build_blocks_world_xml(
+        max_num_objects, block_size, robot_control_params, mujoco_timestep
+    )
+    model = compile_xml(xml, dtype=dtype)
+    return model, RearrangeIndex.build(model, max_num_objects)

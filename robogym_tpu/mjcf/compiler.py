@@ -582,6 +582,7 @@ class _Compiler:
             raise NotImplementedError(f"actuator <{tag}>")
 
         joint, tendon = a("joint"), a("tendon")
+        user = _floats(a("user"), default=[0.0])
         ctrlrange = _floats(a("ctrlrange"), default=[0.0, 0.0])
         forcerange = _floats(a("forcerange"), default=[0.0, 0.0])
         ctrllimited = a("ctrllimited")
@@ -597,6 +598,7 @@ class _Compiler:
                 gaintype=gaintype,
                 biastype=biastype,
                 dyntype=dyntype,
+                user=float(user[0]),
                 gainprm=gainprm,
                 biasprm=biasprm,
                 dynprm=dynprm,
@@ -790,13 +792,16 @@ class _Compiler:
             actuator_trnid[i] = (
                 name2joint[a["trn"]] if a["trntype"] == TrnType.JOINT else name2tendon[a["trn"]]
             )
-        # act state: PID (user gain) actuators carry [integral, prev_err, d_smooth]
+        # act state: controller state slots per user-gain actuator.
+        # PID uses [integral, prev_err, d_smooth]; cascaded PI (user="1",
+        # mujoco-py mjpid.pyx) uses [pos_integral, vel_integral,
+        # smoothed_des_vel, prev_err] — allocate 4 uniformly.
         actuator_actadr = np.full(nu, -1, np.int32)
         na = 0
         for i, a in enumerate(self.actuators):
             if a["gaintype"] == GainType.USER or a["dyntype"] != DynType.NONE:
                 actuator_actadr[i] = na
-                na += 3
+                na += 4
 
         # ---- equality
         neq = len(self.equalities)
@@ -911,6 +916,7 @@ class _Compiler:
             actuator_biastype=np.array([a["biastype"] for a in self.actuators], np.int32),
             actuator_dyntype=np.array([a["dyntype"] for a in self.actuators], np.int32),
             actuator_actadr=actuator_actadr,
+            actuator_user=np.array([a.get("user", 0.0) for a in self.actuators], np.float64) if nu else np.zeros(0),
             actuator_ctrllimited=np.array([a["ctrllimited"] for a in self.actuators], bool),
             actuator_forcelimited=np.array([a["forcelimited"] for a in self.actuators], bool),
             eq_type=eq_type, eq_obj1id=eq_obj1id, eq_obj2id=eq_obj2id,

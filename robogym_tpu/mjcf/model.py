@@ -204,6 +204,7 @@ class ModelConst:
     actuator_biastype: np.ndarray
     actuator_dyntype: np.ndarray
     actuator_actadr: np.ndarray    # (nu,) index into act state or -1
+    actuator_user: np.ndarray      # (nu,) user[0]: 1 -> cascaded PI (mjpid.pyx)
     actuator_ctrllimited: np.ndarray
     actuator_forcelimited: np.ndarray
 

@@ -32,20 +32,30 @@ from robogym_tpu.mjcf.model import BiasType, Data, GainType, Model
 
 
 def _actuator_partition(c):
-    """Static partition of actuator ids: (pid_ids, pid_actadr, plain_ids,
-    plain_affine_mask). Cached on the ModelConst object."""
+    """Static partition of actuator ids: (pid_ids, pid_actadr, cas_ids,
+    cas_actadr, plain_ids, plain_affine_mask). Cached on the ModelConst.
+
+    user[0] == 1 selects the cascaded-PI controller, matching mujoco-py's
+    dispatch in mjpid.pyx (see calibration XML comment
+    assets/xmls/robot/ur16e/jointspec/calibrations/cascaded_pi/
+    joint_actuations.xml:4)."""
     key = "_actuation_partition"
     cached = getattr(c, key, None)
     if cached is not None:
         return cached
     gt = np.asarray(c.actuator_gaintype)
     bt = np.asarray(c.actuator_biastype)
-    is_pid = (gt == GainType.USER) | (bt == BiasType.USER)
+    user = np.asarray(c.actuator_user)
+    is_user = (gt == GainType.USER) | (bt == BiasType.USER)
+    is_cas = is_user & (user == 1.0)
+    is_pid = is_user & ~is_cas
     pid_ids = np.nonzero(is_pid)[0].astype(np.int32)
-    plain_ids = np.nonzero(~is_pid)[0].astype(np.int32)
+    cas_ids = np.nonzero(is_cas)[0].astype(np.int32)
+    plain_ids = np.nonzero(~is_user)[0].astype(np.int32)
     pid_actadr = np.asarray(c.actuator_actadr)[pid_ids].astype(np.int32)
+    cas_actadr = np.asarray(c.actuator_actadr)[cas_ids].astype(np.int32)
     plain_affine = (bt[plain_ids] == BiasType.AFFINE)
-    out = (pid_ids, pid_actadr, plain_ids, plain_affine)
+    out = (pid_ids, pid_actadr, cas_ids, cas_actadr, plain_ids, plain_affine)
     object.__setattr__(c, key, out)
     return out
 
@@ -67,7 +77,8 @@ def actuation(m: Model, d: Data, moment: jax.Array) -> Data:
     )
 
     dt = m.opt.timestep
-    pid_ids, pid_actadr, plain_ids, plain_affine = _actuator_partition(c)
+    (pid_ids, pid_actadr, cas_ids, cas_actadr,
+     plain_ids, plain_affine) = _actuator_partition(c)
     force = jnp.zeros(c.nu, dtype)
     act_new = d.act
 
@@ -107,6 +118,56 @@ def actuation(m: Model, d: Data, moment: jax.Array) -> Data:
             act_new.at[aadr].set(integral)
             .at[aadr + 1].set(error)
             .at[aadr + 2].set(dsm)
+        )
+
+    if len(cas_ids):
+        # Cascaded PI position->velocity controller (mujoco-py mjpid.pyx,
+        # user="1"): gainprm = [Kp, Ti, iClamp, _, _, Kvp, Tiv, iClamp_v,
+        # ema_smooth, max_vel]. act slots: [pos_integral, vel_integral,
+        # smoothed_des_vel, prev_err].
+        ids = jnp.asarray(cas_ids)
+        aadr = jnp.asarray(cas_actadr)
+        gp = m.actuator_gainprm[ids]
+        kp, ti, iclamp = gp[:, 0], gp[:, 1], gp[:, 2]
+        kvp, tiv, iclamp_v = gp[:, 5], gp[:, 6], gp[:, 7]
+        ema, max_vel = gp[:, 8], gp[:, 9]
+
+        length = d.actuator_length[ids]
+        velocity = d.actuator_velocity[ids]
+        int_pos = d.act[aadr]
+        int_vel = d.act[aadr + 1]
+        smooth_prev = d.act[aadr + 2]
+
+        # position PI -> desired velocity
+        error = ctrl[ids] - length
+        int_pos = int_pos + error * dt
+        ip_limit = jnp.where(ti > 1e-12, iclamp * ti / jnp.maximum(kp, 1e-12), 0.0)
+        int_pos = jnp.clip(int_pos, -ip_limit, ip_limit)
+        iterm_pos = jnp.where(ti > 1e-12, kp * int_pos / jnp.maximum(ti, 1e-12), 0.0)
+        des_vel = kp * error + iterm_pos
+        # EMA smoothing + velocity limit
+        des_vel = ema * smooth_prev + (1.0 - ema) * des_vel
+        smooth_new = des_vel
+        des_vel = jnp.clip(des_vel, -max_vel, max_vel)
+
+        # velocity PI -> force
+        verror = des_vel - velocity
+        int_vel = int_vel + verror * dt
+        iv_limit = jnp.where(
+            tiv > 1e-12, iclamp_v * tiv / jnp.maximum(kvp, 1e-12), 0.0
+        )
+        int_vel = jnp.clip(int_vel, -iv_limit, iv_limit)
+        iterm_vel = jnp.where(
+            tiv > 1e-12, kvp * int_vel / jnp.maximum(tiv, 1e-12), 0.0
+        )
+        f_cas = kvp * verror + iterm_vel
+
+        force = force.at[ids].set(f_cas)
+        act_new = (
+            act_new.at[aadr].set(int_pos)
+            .at[aadr + 1].set(int_vel)
+            .at[aadr + 2].set(smooth_new)
+            .at[aadr + 3].set(error)
         )
 
     if len(plain_ids):

@@ -46,6 +46,8 @@ _PRIM = {
     (GeomType.SPHERE, GeomType.CAPSULE): (prim.sphere_capsule, 1),
     (GeomType.SPHERE, GeomType.BOX): (prim.sphere_box, 1),
     (GeomType.CAPSULE, GeomType.CAPSULE): (prim.capsule_capsule, 1),
+    (GeomType.CAPSULE, GeomType.BOX): (prim.capsule_box, 2),
+    (GeomType.BOX, GeomType.BOX): (prim.box_box, 8),
 }
 _CONVEX_TYPES = (
     GeomType.SPHERE,
@@ -83,6 +85,8 @@ def build_groups(const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP):
                 kind, fn, ncon = "plane_convex", None, 4
         elif (t1, t2) in _PRIM:
             kind, fn, ncon = "prim", _PRIM[(t1, t2)][0], _PRIM[(t1, t2)][1]
+        elif t1 == GeomType.BOX and t2 == GeomType.MESH:
+            kind, fn, ncon = "box_convex", None, 4
         elif t1 in _CONVEX_TYPES and t2 in _CONVEX_TYPES:
             kind, fn, ncon = "convex", None, 1
         else:
@@ -177,8 +181,15 @@ def _support_batch(gtype: int):
     return sup
 
 
-def _collide_convex_pair(sup1, sup2, d1, d2, c1, c2, n_refine=4):
-    """Single-point convex collision for one gathered pair (vmapped)."""
+def _collide_convex_pair(sup1, sup2, d1, d2, c1, c2, n_refine=8):
+    """Single-point convex collision for one gathered pair (vmapped).
+
+    Coarse 43-direction sweep (EPA-lite) followed by projected-subgradient
+    sharpening of the separating direction: the subgradient of
+    s(d) = d.(sup_A(d) - sup_B(-d)) w.r.t. d is the witness difference
+    (p1 - p2); descending it on the unit sphere converges the normal to the
+    true face normal — without this, the 43-way quantized normal makes
+    resting contacts chatter and inject energy."""
     dtype = c1.dtype
     d0 = c2 - c1
     d0 = d0 / (jnp.linalg.norm(d0) + 1e-12)
@@ -192,24 +203,92 @@ def _collide_convex_pair(sup1, sup2, d1, d2, c1, c2, n_refine=4):
     seps = jax.vmap(sep)(dirs)
     k = jnp.argmin(seps)
     n = dirs[k]
-    dist = -seps[k]
+    s_best = seps[k]
 
     def refine(i, carry):
-        dist, n = carry
+        s_best, n = carry
         p1 = sup1(d1, n)
         p2 = sup2(d2, -n)
         w = p1 - p2
-        wn = jnp.linalg.norm(w) + 1e-12
-        n_new = jnp.where(jnp.dot(w, n) < 0, -w / wn, n)
-        gap = jnp.dot(n_new, sup1(d1, n_new) - sup2(d2, -n_new))
-        better = -gap > dist
-        return jnp.where(better, -gap, dist), jnp.where(better, n_new, n)
+        # projected subgradient step on the unit sphere, decaying step size
+        eta = 0.5 / (1.0 + i.astype(dtype))
+        g = w - jnp.dot(w, n) * n
+        gn = jnp.linalg.norm(g) + 1e-12
+        cand = n - eta * g / gn * jnp.minimum(gn, 1.0)
+        cand = cand / (jnp.linalg.norm(cand) + 1e-12)
+        s_cand = jnp.dot(cand, sup1(d1, cand) - sup2(d2, -cand))
+        better = s_cand < s_best
+        return (
+            jnp.where(better, s_cand, s_best),
+            jnp.where(better, cand, n),
+        )
 
-    dist, n = jax.lax.fori_loop(0, n_refine, refine, (dist, n))
+    s_best, n = jax.lax.fori_loop(
+        0, n_refine, refine, (s_best, n)
+    )
+    dist = -s_best
     p1 = sup1(d1, n)
     p2 = sup2(d2, -n)
     pos = 0.5 * (p1 + p2)
     return dist, pos, n
+
+
+def _collide_box_convex_pair(sup2, dbox, d2, c2, n_refine=8):
+    """Box (geom1) vs convex hull (geom2): 4-point manifold.
+
+    After the single-point solve, the hull is locally approximated by its
+    tangent plane at the witness point (normal n); the box corners are
+    tested against that plane, and lateral validity is enforced with hull
+    support queries in the tangent directions. This produces the stable
+    face-on-face manifold MuJoCo gets from multiple palm meshes + MPR
+    (shadowhand chain.xml palm_a..f), which a single contact point cannot.
+    """
+    sup_box = _support_batch(GeomType.BOX)
+    dist0, pos0, n = _collide_convex_pair(
+        sup_box, sup2, dbox, d2, dbox["xpos"], c2, n_refine
+    )
+    dtype = dist0.dtype
+
+    # tangent plane on the hull: passes through its support point along -n
+    plane_pt = sup2(d2, -n)
+
+    # 8 box corners
+    signs = jnp.asarray(
+        [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+         for sz in (-1.0, 1.0)], dtype,
+    )
+    corners = dbox["xpos"] + (signs * dbox["size"]) @ dbox["xmat"].T  # (8,3)
+    cdist = (corners - plane_pt) @ (-n)     # penetration depth: <0 beyond plane
+
+    # lateral validity: corner projection must be inside the hull footprint
+    t1 = jnp.where(
+        jnp.abs(n[0]) < 0.5, jnp.asarray([1.0, 0, 0], dtype),
+        jnp.asarray([0.0, 1.0, 0], dtype),
+    )
+    t1 = t1 - jnp.dot(t1, n) * n
+    t1 = t1 / (jnp.linalg.norm(t1) + 1e-12)
+    t2 = jnp.cross(n, t1)
+    tol = 5e-3
+
+    def lateral_ok(corner):
+        ok = jnp.asarray(True)
+        for t in (t1, -t1, t2, -t2):
+            bound = jnp.dot(t, sup2(d2, t))
+            ok = ok & (jnp.dot(corner, t) <= bound + tol)
+        return ok
+
+    ok = jax.vmap(lateral_ok)(corners)
+    cdist = jnp.where(ok, cdist, BIG)
+    sel = jnp.argsort(cdist)[:4]
+    dist4 = cdist[sel]
+    pos4 = corners[sel] - (0.5 * dist4[:, None]) * n[None, :]
+    # slot 3 falls back to the single-point witness when unused (covers
+    # edge/vertex contact where no box corner passes the plane test)
+    use_fallback = dist4[3] >= BIG / 2
+    is3 = jnp.arange(4) == 3
+    dist4 = jnp.where(is3 & use_fallback, dist0, dist4)
+    pos4 = jnp.where((is3 & use_fallback)[:, None], pos0[None, :], pos4)
+    return dist4, pos4, jnp.tile(n, (4, 1))
 
 
 def _gather_geom(m: Model, d: Data, gids: jax.Array, gtype: int):
@@ -297,6 +376,13 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
                 # treat primitive as its own hull: sample support dirs? use
                 # box corners for BOX handled in plane_prim; others: sphere
                 raise NotImplementedError
+        elif grp["kind"] == "box_convex":
+            sup2 = _support_batch(t2)
+            data1 = _gather_geom(m, d, g1k, t1)
+            data2 = _gather_geom(m, d, g2k, t2)
+            dist, pos, normal = jax.vmap(
+                lambda d1, d2, c2: _collide_box_convex_pair(sup2, d1, d2, c2)
+            )(data1, data2, data2["center"])
         else:  # convex
             sup1 = _support_batch(t1)
             sup2 = _support_batch(t2)

@@ -172,3 +172,120 @@ def _closest_segment_segment(a0, a1, b0, b1):
     t_cl = jnp.clip(t, 0.0, 1.0)
     s = jnp.clip((b * t_cl - c) / a, 0.0, 1.0)
     return a0 + d1 * s, b0 + d2 * t_cl
+
+
+# --- box functions -----------------------------------------------------------
+
+
+def _box_corners(xp, xm, s):
+    """(8,3) world-frame corners."""
+    signs = jnp.asarray(
+        [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)],
+        xp.dtype,
+    )
+    return xp + (signs * s) @ xm.T
+
+
+def box_box(xp1, xm1, s1, xp2, xm2, s2):
+    """Multi-point box-box manifold: SAT over the 15 separating axes picks
+    the contact normal; the manifold is corner-in-box candidates from both
+    boxes (covers face-face and edge-face resting contact — the case the
+    single-point convex fallback cannot stabilize) plus the SAT witness
+    point for edge-edge crossings. Up to 8 points (MuJoCo's mjc_BoxBox
+    budget, compiler._PAIR_NCON).
+    """
+    dtype = xp1.dtype
+    eps = 1e-9
+
+    # --- SAT in world frame
+    axes1 = xm1.T  # rows = box1 face normals (world)
+    axes2 = xm2.T
+    cross = jnp.reshape(
+        jnp.cross(axes1[:, None, :], axes2[None, :, :]), (9, 3)
+    )
+    axes = jnp.concatenate([axes1, axes2, cross], axis=0)  # (15,3)
+    norms = jnp.linalg.norm(axes, axis=-1, keepdims=True)
+    valid = norms[:, 0] > 1e-6
+    axes = axes / jnp.maximum(norms, eps)
+
+    t = xp2 - xp1
+
+    def depth_along(a):
+        proj1 = jnp.sum(jnp.abs(a @ xm1) * s1)
+        proj2 = jnp.sum(jnp.abs(a @ xm2) * s2)
+        return proj1 + proj2 - jnp.abs(jnp.dot(t, a))
+
+    depths = jax.vmap(depth_along)(axes)           # >0 = overlapping
+    depths = jnp.where(valid, depths, BIG)
+    k = jnp.argmin(depths)
+    sat_depth = depths[k]                          # min overlap (can be <0)
+    n = axes[k]
+    n = jnp.where(jnp.dot(n, t) < 0, -n, n)        # point from box1 to box2
+
+    # --- manifold candidates: corners of box2 measured against box1 and
+    # corners of box1 against box2 (distance along the OTHER box's surface)
+    def corner_candidates(xp_a, xm_a, s_a, xp_b, xm_b, s_b, sign):
+        """Corners of box b against box a. sign=+1 keeps normal from 1->2."""
+        corners = _box_corners(xp_b, xm_b, s_b)          # (8,3)
+        local = (corners - xp_a) @ xm_a                  # (8,3) in a-frame
+        over = jnp.abs(local) - s_a                      # per-axis excess
+        dist = jnp.max(over, axis=-1)                    # <0 strictly inside
+        # only corners actually inside box a (within tolerance) are valid
+        # manifold points; anything else is covered by the other corner set
+        # or the SAT witness point
+        inside = jnp.all(over < 1e-3, axis=-1)
+        dist = jnp.where(inside, dist, BIG)
+        pos = corners - (0.5 * dist)[:, None] * (sign * n)[None, :]
+        return dist, pos
+
+    d2, p2 = corner_candidates(xp1, xm1, s1, xp2, xm2, s2, +1.0)
+    d1, p1 = corner_candidates(xp2, xm2, s2, xp1, xm1, s1, -1.0)
+
+    # SAT witness point for edge-edge (support midpoint)
+    sup1 = xp1 + xm1 @ (jnp.sign(xm1.T @ n) * s1)
+    sup2 = xp2 + xm2 @ (jnp.sign(xm2.T @ (-n)) * s2)
+    d_sat = -sat_depth
+    p_sat = 0.5 * (sup1 + sup2)
+
+    dist_all = jnp.concatenate([d2, d1, d_sat[None]])          # (17,)
+    pos_all = jnp.concatenate([p2, p1, p_sat[None]], axis=0)   # (17,3)
+
+    # top-8 deepest
+    sel = jnp.argsort(dist_all)[:8]
+    return dist_all[sel], pos_all[sel], jnp.tile(n, (8, 1))
+
+
+def capsule_box(xp1, xm1, s1, xp2, xm2, s2):
+    """Capsule (geom1) vs box (geom2): up to 2 points — the two capsule
+    endpoint spheres plus the deepest interior point, top-2 by depth
+    (MuJoCo's mjc_CapsuleBox also returns up to 2)."""
+    r, hh = s1[0], s1[1]
+    axis = xm1[:, 2]
+    ends = jnp.stack([xp1 - axis * hh, xp1 + axis * hh])
+
+    def sphere_point(p):
+        local = xm2.T @ (p - xp2)
+        clamped = jnp.clip(local, -s2, s2)
+        inside = jnp.all(jnp.abs(local) < s2)
+        face_dist = s2 - jnp.abs(local)
+        k = jnp.argmin(face_dist)
+        push = clamped.at[k].set(jnp.sign(local[k]) * s2[k])
+        closest_local = jnp.where(inside, push, clamped)
+        closest = xp2 + xm2 @ closest_local
+        dvec = closest - p
+        dn = jnp.linalg.norm(dvec) + 1e-12
+        nrm = jnp.where(inside, -dvec / dn, dvec / dn)
+        dist = jnp.where(inside, -(dn + r), dn - r)
+        pos = p + nrm * (r + 0.5 * dist)
+        return dist, pos, nrm
+
+    # closest point of the segment to the box center line: sample midpoint too
+    local_c = xm2.T @ (xp1 - xp2)
+    # project box center onto capsule segment
+    tmid = jnp.clip(jnp.dot(xp2 - ends[0], axis) / (2 * hh + 1e-12), 0.0, 1.0)
+    mid = ends[0] + (ends[1] - ends[0]) * tmid
+
+    cands = jnp.stack([ends[0], ends[1], mid])
+    dist, pos, nrm = jax.vmap(sphere_point)(cands)
+    sel = jnp.argsort(dist)[:2]
+    return dist[sel], pos[sel], nrm[sel]
