@@ -1,12 +1,12 @@
-"""Throughput benchmark: batched dactyl/reach env steps per second.
+"""Throughput benchmark: batched env steps per second on the flagship config.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "env-steps/s", "vs_baseline": N}
 
-Baseline (BASELINE.md): the reference publishes no numbers; the north-star
-target is 1e6 env-steps/s aggregate (dactyl @ 4096 envs/chip on v5p-8, i.e.
-125k/chip). vs_baseline reports value / 125_000 (per-chip share of the
-north star) scaled by the number of local chips.
+Flagship config = dactyl/locked (BASELINE.md north star: >=1M env-steps/s
+aggregate at 4096 envs/chip on a v5p-8, i.e. 125k/chip). vs_baseline
+reports value / (125_000 * n_local_chips). Select the env with BENCH_ENV
+(locked | reach | blocks), batch with BENCH_BATCH, steps with BENCH_STEPS.
 """
 
 import json
@@ -15,16 +15,37 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+# persistent compile cache: the heavy physics compiles are reused across
+# bench runs / rounds
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def build_env(name: str):
+    if name == "reach":
+        from robogym_tpu.envs.dactyl.reach import make_env
+
+        return make_env(dict(goal_stabilize_steps=0), dtype=jnp.float32)
+    if name == "blocks":
+        from robogym_tpu.envs.rearrange.blocks import make_env
+
+        return make_env(
+            dict(), dict(simulation_params=dict(num_objects=5)),
+            dtype=jnp.float32,
+        )
+    from robogym_tpu.envs.dactyl.locked import make_env
+
+    return make_env(dtype=jnp.float32)
 
 
 def main():
-    from robogym_tpu.envs.dactyl.reach import make_env
-
-    B = int(os.environ.get("BENCH_BATCH", 512))
+    name = os.environ.get("BENCH_ENV", "locked")
+    B = int(os.environ.get("BENCH_BATCH", 1024))
     N_STEPS = int(os.environ.get("BENCH_STEPS", 20))
 
-    env = make_env(dict(goal_stabilize_steps=0), dtype=jnp.float32)
+    env = build_env(name)
 
     keys = jax.random.split(jax.random.key(0), B)
     reset_b = jax.jit(jax.vmap(env.reset))
@@ -60,7 +81,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"dactyl/reach env-steps/s @ batch={B} (1 chip)",
+                "metric": f"dactyl/{name} env-steps/s @ batch={B} (1 chip)",
                 "value": round(steps_per_s, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(steps_per_s / (baseline_per_chip * n_chips), 4),

@@ -943,7 +943,7 @@ class _Compiler:
             density=jnp.asarray(float(oa.get("density", 0.0)), dtype),
             viscosity=jnp.asarray(float(oa.get("viscosity", 0.0)), dtype),
             impratio=jnp.asarray(float(oa.get("impratio", 1.0)), dtype),
-            iterations=int(oa.get("iterations", 20)),
+            iterations=int(oa.get("iterations", 30)),
             cone=ConeType.PYRAMIDAL if oa.get("cone", "pyramidal") == "pyramidal" else ConeType.ELLIPTIC,
             integrator=IntegratorType.EULER,
         )

@@ -283,8 +283,16 @@ class Option(_Replaceable):
     viscosity: jax.Array       # ()
     impratio: jax.Array        # ()
     # static solver config
-    iterations: int = dataclasses.field(metadata=dict(static=True), default=20)
+    iterations: int = dataclasses.field(metadata=dict(static=True), default=30)
     ls_iterations: int = dataclasses.field(metadata=dict(static=True), default=8)
+    # active-contact budget: the constraint assembler gathers the
+    # `ncon_active` deepest contact slots before building Jacobians (the
+    # fixed-size analogue of MuJoCo's nconmax, cube_env.py:229-243)
+    ncon_active: int = dataclasses.field(metadata=dict(static=True), default=64)
+    # constraint solver: "newton" (per-iteration Hessian Cholesky) or "cg"
+    # (preconditioned nonlinear CG, MuJoCo mjSOL_CG analogue - the fast path
+    # on TPU where batched small Choleskys are slow)
+    solver: str = dataclasses.field(metadata=dict(static=True), default="cg")
     tolerance: float = dataclasses.field(metadata=dict(static=True), default=1e-8)
     cone: int = dataclasses.field(metadata=dict(static=True), default=ConeType.PYRAMIDAL)
     integrator: int = dataclasses.field(metadata=dict(static=True), default=IntegratorType.EULER)
@@ -408,6 +416,7 @@ class Contact(_Replaceable):
     geom1: jax.Array       # (ncon,) int32 (static pair table, same for all envs)
     geom2: jax.Array       # (ncon,)
     active: jax.Array      # (ncon,) bool — dist < includemargin
+    condim: jax.Array      # (ncon,) int32 contact dimensionality per slot
 
 
 @jax.tree_util.register_dataclass
@@ -492,6 +501,7 @@ def make_data(model: Model, dtype=jnp.float32, qpos0: Optional[np.ndarray] = Non
         includemargin=z(ncon), friction=z(ncon, 5), solref=z(ncon, 2), solimp=z(ncon, 5),
         geom1=jnp.zeros(ncon, jnp.int32), geom2=jnp.zeros(ncon, jnp.int32),
         active=jnp.zeros(ncon, bool),
+        condim=jnp.full(ncon, 3, jnp.int32),
     )
 
     return Data(

@@ -41,6 +41,7 @@ for _i in range(len(_ico)):
 _DIRS = _np.concatenate([_ico, _np.asarray(_mid).reshape(-1, 3)], axis=0)
 _DIRS = _DIRS / _np.linalg.norm(_DIRS, axis=1, keepdims=True)
 DIRS42 = jnp.asarray(_DIRS)  # (42, 3)
+DIRS12 = jnp.asarray(_ico / _np.linalg.norm(_ico, axis=1, keepdims=True))  # (12, 3)
 
 
 def support_hull(verts: jax.Array, mask: jax.Array, direction: jax.Array) -> jax.Array:

@@ -40,6 +40,8 @@ _PLANE_PRIM = {
     GeomType.SPHERE: (prim.plane_sphere, 1),
     GeomType.CAPSULE: (prim.plane_capsule, 2),
     GeomType.BOX: (prim.plane_box, 4),
+    GeomType.CYLINDER: (prim.plane_cylinder, 4),
+    GeomType.ELLIPSOID: (prim.plane_ellipsoid, 1),
 }
 _PRIM = {
     (GeomType.SPHERE, GeomType.SPHERE): (prim.sphere_sphere, 1),
@@ -58,8 +60,11 @@ _CONVEX_TYPES = (
     GeomType.MESH,
 )
 
-# default per-group active-pair budget (broadphase top-k size)
+# default per-group active-pair budget (broadphase top-k size); mesh-mesh
+# (hand self-collision, 899 pairs in the locked world) rarely has more than
+# a handful of active pairs, so it gets a tighter budget
 DEFAULT_GROUP_CAP = 48
+KIND_GROUP_CAP = {"convex": 24}
 
 
 @functools.lru_cache(maxsize=32)
@@ -91,22 +96,25 @@ def build_groups(const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP):
             kind, fn, ncon = "convex", None, 1
         else:
             continue
-        key = (kind, t1, t2, condim)
+        key = (kind, t1, t2)
         grp = groups.setdefault(
             key,
-            dict(kind=kind, fn=fn, ncon=ncon, t1=t1, t2=t2, condim=condim,
-                 g1=[], g2=[]),
+            dict(kind=kind, fn=fn, ncon=ncon, t1=t1, t2=t2,
+                 g1=[], g2=[], condim=[]),
         )
         grp["g1"].append(g1)
         grp["g2"].append(g2)
+        grp["condim"].append(condim)
 
     out = []
     for key in sorted(groups.keys()):
         grp = groups[key]
         grp["g1"] = np.asarray(grp["g1"], np.int32)
         grp["g2"] = np.asarray(grp["g2"], np.int32)
+        grp["condim"] = np.asarray(grp["condim"], np.int32)
         n = len(grp["g1"])
-        grp["K"] = min(n, group_cap)
+        cap = KIND_GROUP_CAP.get(grp["kind"], group_cap)
+        grp["K"] = min(n, cap)
         out.append(grp)
     return out
 
@@ -133,180 +141,218 @@ def geom_rbound(m: Model) -> jax.Array:
     return rb
 
 
-def _support_batch(gtype: int):
-    """Batched support function for a geom type: (data, dir (3,)) -> point."""
-    if gtype == GeomType.BOX:
-        def sup(data, direction):
-            local = data["xmat"].T @ direction
-            return data["xpos"] + data["xmat"] @ (jnp.sign(local) * data["size"])
-    elif gtype == GeomType.SPHERE:
-        def sup(data, direction):
-            n = direction / (jnp.linalg.norm(direction) + 1e-12)
-            return data["xpos"] + n * data["size"][0]
-    elif gtype == GeomType.CAPSULE:
-        def sup(data, direction):
-            n = direction / (jnp.linalg.norm(direction) + 1e-12)
-            axis = data["xmat"][:, 2]
-            return (
-                data["xpos"]
-                + jnp.sign(jnp.dot(axis, n)) * axis * data["size"][1]
-                + n * data["size"][0]
-            )
-    elif gtype == GeomType.CYLINDER:
-        def sup(data, direction):
-            n = direction / (jnp.linalg.norm(direction) + 1e-12)
-            axis = data["xmat"][:, 2]
-            ax = jnp.dot(axis, n)
-            radial = n - ax * axis
-            rn = jnp.linalg.norm(radial) + 1e-12
-            return (
-                data["xpos"]
-                + jnp.sign(ax) * axis * data["size"][1]
-                + radial / rn * data["size"][0]
-            )
-    elif gtype == GeomType.ELLIPSOID:
-        def sup(data, direction):
-            local = data["xmat"].T @ direction
-            v = data["size"] ** 2 * local
-            v = v / (jnp.linalg.norm(data["size"] * local) + 1e-12)
-            return data["xpos"] + data["xmat"] @ v
-    elif gtype == GeomType.MESH:
-        def sup(data, direction):
-            world = data["xpos"] + data["vert"] @ data["xmat"].T
-            dots = world @ direction
-            dots = jnp.where(data["mask"] > 0, dots, -BIG)
-            return world[jnp.argmax(dots)]
-    else:
-        raise NotImplementedError(f"support for type {gtype}")
-    return sup
-
-
-def _collide_convex_pair(sup1, sup2, d1, d2, c1, c2, n_refine=8):
-    """Single-point convex collision for one gathered pair (vmapped).
-
-    Coarse 43-direction sweep (EPA-lite) followed by projected-subgradient
-    sharpening of the separating direction: the subgradient of
-    s(d) = d.(sup_A(d) - sup_B(-d)) w.r.t. d is the witness difference
-    (p1 - p2); descending it on the unit sphere converges the normal to the
-    true face normal — without this, the 43-way quantized normal makes
-    resting contacts chatter and inject energy."""
-    dtype = c1.dtype
-    d0 = c2 - c1
-    d0 = d0 / (jnp.linalg.norm(d0) + 1e-12)
-    dirs = jnp.concatenate([cx.DIRS42.astype(dtype), d0[None]], axis=0)
-
-    def sep(dd):
-        p1 = sup1(d1, dd)
-        p2 = sup2(d2, -dd)
-        return jnp.dot(dd, p1 - p2)
-
-    seps = jax.vmap(sep)(dirs)
-    k = jnp.argmin(seps)
-    n = dirs[k]
-    s_best = seps[k]
-
-    def refine(i, carry):
-        s_best, n = carry
-        p1 = sup1(d1, n)
-        p2 = sup2(d2, -n)
-        w = p1 - p2
-        # projected subgradient step on the unit sphere, decaying step size
-        eta = 0.5 / (1.0 + i.astype(dtype))
-        g = w - jnp.dot(w, n) * n
-        gn = jnp.linalg.norm(g) + 1e-12
-        cand = n - eta * g / gn * jnp.minimum(gn, 1.0)
-        cand = cand / (jnp.linalg.norm(cand) + 1e-12)
-        s_cand = jnp.dot(cand, sup1(d1, cand) - sup2(d2, -cand))
-        better = s_cand < s_best
-        return (
-            jnp.where(better, s_cand, s_best),
-            jnp.where(better, cand, n),
-        )
-
-    s_best, n = jax.lax.fori_loop(
-        0, n_refine, refine, (s_best, n)
+def _mesh_world_cache(m: Model, d: Data):
+    """World-frame hull verts/masks computed ONCE PER GEOM per substep
+    (each mesh geom participates in many pairs; per-pair transforms were the
+    single hottest cost in the old narrowphase)."""
+    c = m.const
+    mids = jnp.clip(jnp.asarray(c.geom_dataid), 0, max(c.nmesh - 1, 0))
+    verts = m.mesh_convex_vert[mids]                 # (ngeom, V, 3)
+    world = d.geom_xpos[:, None, :] + jnp.einsum(
+        "gvj,gij->gvi", verts, d.geom_xmat
     )
-    dist = -s_best
-    p1 = sup1(d1, n)
-    p2 = sup2(d2, -n)
-    pos = 0.5 * (p1 + p2)
-    return dist, pos, n
-
-
-def _collide_box_convex_pair(sup2, dbox, d2, c2, n_refine=8):
-    """Box (geom1) vs convex hull (geom2): 4-point manifold.
-
-    After the single-point solve, the hull is locally approximated by its
-    tangent plane at the witness point (normal n); the box corners are
-    tested against that plane, and lateral validity is enforced with hull
-    support queries in the tangent directions. This produces the stable
-    face-on-face manifold MuJoCo gets from multiple palm meshes + MPR
-    (shadowhand chain.xml palm_a..f), which a single contact point cannot.
-    """
-    sup_box = _support_batch(GeomType.BOX)
-    dist0, pos0, n = _collide_convex_pair(
-        sup_box, sup2, dbox, d2, dbox["xpos"], c2, n_refine
+    mask = m.mesh_convex_mask[mids]
+    center = d.geom_xpos + jnp.einsum(
+        "gij,gj->gi", d.geom_xmat, m.mesh_convex_center[mids]
     )
-    dtype = dist0.dtype
-
-    # tangent plane on the hull: passes through its support point along -n
-    plane_pt = sup2(d2, -n)
-
-    # 8 box corners
-    signs = jnp.asarray(
-        [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
-         for sz in (-1.0, 1.0)], dtype,
-    )
-    corners = dbox["xpos"] + (signs * dbox["size"]) @ dbox["xmat"].T  # (8,3)
-    cdist = (corners - plane_pt) @ (-n)     # penetration depth: <0 beyond plane
-
-    # lateral validity: corner projection must be inside the hull footprint
-    t1 = jnp.where(
-        jnp.abs(n[0]) < 0.5, jnp.asarray([1.0, 0, 0], dtype),
-        jnp.asarray([0.0, 1.0, 0], dtype),
-    )
-    t1 = t1 - jnp.dot(t1, n) * n
-    t1 = t1 / (jnp.linalg.norm(t1) + 1e-12)
-    t2 = jnp.cross(n, t1)
-    tol = 5e-3
-
-    def lateral_ok(corner):
-        ok = jnp.asarray(True)
-        for t in (t1, -t1, t2, -t2):
-            bound = jnp.dot(t, sup2(d2, t))
-            ok = ok & (jnp.dot(corner, t) <= bound + tol)
-        return ok
-
-    ok = jax.vmap(lateral_ok)(corners)
-    cdist = jnp.where(ok, cdist, BIG)
-    sel = jnp.argsort(cdist)[:4]
-    dist4 = cdist[sel]
-    pos4 = corners[sel] - (0.5 * dist4[:, None]) * n[None, :]
-    # slot 3 falls back to the single-point witness when unused (covers
-    # edge/vertex contact where no box corner passes the plane test)
-    use_fallback = dist4[3] >= BIG / 2
-    is3 = jnp.arange(4) == 3
-    dist4 = jnp.where(is3 & use_fallback, dist0, dist4)
-    pos4 = jnp.where((is3 & use_fallback)[:, None], pos0[None, :], pos4)
-    return dist4, pos4, jnp.tile(n, (4, 1))
+    # park padded vertices AT the hull center: their support dot can never
+    # exceed a real vertex's, so the argmax sweep needs no mask (saves a
+    # full (K, V, D) where-copy in the hot path)
+    world = jnp.where(mask[:, :, None] > 0, world, center[:, None, :])
+    return world, mask, center
 
 
-def _gather_geom(m: Model, d: Data, gids: jax.Array, gtype: int):
+def _gather_geom(m: Model, d: Data, gids: jax.Array, gtype: int, mesh_cache=None):
     data = dict(
         xpos=d.geom_xpos[gids],
         xmat=d.geom_xmat[gids],
         size=m.geom_size[gids],
     )
     if gtype == GeomType.MESH:
-        mids = jnp.clip(jnp.asarray(m.const.geom_dataid)[gids], 0, m.const.nmesh - 1)
-        data["vert"] = m.mesh_convex_vert[mids]
-        data["mask"] = m.mesh_convex_mask[mids]
-        data["center"] = data["xpos"] + jnp.einsum(
-            "kij,kj->ki", data["xmat"], m.mesh_convex_center[mids]
-        )
+        world, mask, center = mesh_cache
+        data["world_vert"] = world[gids]
+        data["mask"] = mask[gids]
+        data["center"] = center[gids]
     else:
         data["center"] = data["xpos"]
     return data
+
+
+def _support_multi(gtype: int, data, dirs: jax.Array) -> jax.Array:
+    """Batched support: (K pairs, D dirs, 3) points for per-pair direction
+    sets `dirs` (K, D, 3). One fused GEMM per call site instead of D
+    closure invocations."""
+    if gtype == GeomType.MESH:
+        # (K, V, D) dots: the argmax pass runs in bf16 on CENTERED verts
+        # (halves the dominant HBM traffic; centering keeps the absolute
+        # rounding error ~0.4% of the hull extent, i.e. sub-mm), then the
+        # winning vertex is returned at full precision.
+        wv = data["world_vert"]
+        centered = (wv - data["center"][:, None, :]).astype(jnp.bfloat16)
+        dots = jnp.einsum(
+            "kvi,kdi->kvd", centered, dirs.astype(jnp.bfloat16),
+            preferred_element_type=jnp.bfloat16,
+        )
+        idx = jnp.argmax(dots, axis=1)                     # (K, D)
+        return jnp.take_along_axis(wv, idx[:, :, None], axis=1)
+    if gtype == GeomType.BOX:
+        local = jnp.einsum("kji,kdj->kdi", data["xmat"], dirs)   # (K,D,3)
+        corner = jnp.sign(local) * data["size"][:, None, :]
+        return data["xpos"][:, None, :] + jnp.einsum(
+            "kij,kdj->kdi", data["xmat"], corner
+        )
+    if gtype == GeomType.SPHERE:
+        n = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+        return data["xpos"][:, None, :] + n * data["size"][:, None, :1]
+    if gtype == GeomType.CAPSULE:
+        n = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+        axis = data["xmat"][:, :, 2]                        # (K,3)
+        ax = jnp.einsum("ki,kdi->kd", axis, n)
+        return (
+            data["xpos"][:, None, :]
+            + jnp.sign(ax)[:, :, None] * axis[:, None, :]
+            * data["size"][:, None, 1:2]
+            + n * data["size"][:, None, :1]
+        )
+    if gtype == GeomType.CYLINDER:
+        n = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+        axis = data["xmat"][:, :, 2]
+        ax = jnp.einsum("ki,kdi->kd", axis, n)
+        radial = n - ax[:, :, None] * axis[:, None, :]
+        rn = jnp.linalg.norm(radial, axis=-1, keepdims=True) + 1e-12
+        return (
+            data["xpos"][:, None, :]
+            + jnp.sign(ax)[:, :, None] * axis[:, None, :]
+            * data["size"][:, None, 1:2]
+            + radial / rn * data["size"][:, None, :1]
+        )
+    if gtype == GeomType.ELLIPSOID:
+        local = jnp.einsum("kji,kdj->kdi", data["xmat"], dirs)
+        v = data["size"][:, None, :] ** 2 * local
+        v = v / (
+            jnp.linalg.norm(data["size"][:, None, :] * local, axis=-1,
+                            keepdims=True) + 1e-12
+        )
+        return data["xpos"][:, None, :] + jnp.einsum(
+            "kij,kdj->kdi", data["xmat"], v
+        )
+    raise NotImplementedError(f"support for type {gtype}")
+
+
+def _collide_convex_group(t1, t2, data1, data2, n_refine=8):
+    """Batched single-point convex collision over K gathered pairs.
+    Returns dist (K,), pos (K,3), normal (K,3)."""
+    c1, c2 = data1["center"], data2["center"]
+    dtype = c1.dtype
+    K = c1.shape[0]
+    d0 = c2 - c1
+    d0 = d0 / (jnp.linalg.norm(d0, axis=-1, keepdims=True) + 1e-12)
+    shared = jnp.broadcast_to(
+        cx.DIRS12.astype(dtype)[None], (K, cx.DIRS12.shape[0], 3)
+    )
+    extra = [d0[:, None, :]]
+    if t1 == GeomType.BOX:
+        # box face normals are strong separating-axis candidates
+        fn = jnp.concatenate([data1["xmat"].transpose(0, 2, 1),
+                              -data1["xmat"].transpose(0, 2, 1)], axis=1)
+        extra.append(fn)
+    if t2 == GeomType.BOX:
+        fn = jnp.concatenate([data2["xmat"].transpose(0, 2, 1),
+                              -data2["xmat"].transpose(0, 2, 1)], axis=1)
+        extra.append(fn)
+    dirs = jnp.concatenate([shared] + extra, axis=1)   # (K, 13..25, 3)
+
+    p1 = _support_multi(t1, data1, dirs)        # (K, 43, 3)
+    p2 = _support_multi(t2, data2, -dirs)
+    seps = jnp.einsum("kdi,kdi->kd", dirs, p1 - p2)
+    k = jnp.argmin(seps, axis=1)                # (K,)
+    n = jnp.take_along_axis(dirs, k[:, None, None], axis=1)[:, 0]
+    s_best = jnp.take_along_axis(seps, k[:, None], axis=1)[:, 0]
+
+    # staged PARALLEL cone refinement: each stage evaluates a ring of
+    # candidate directions around the incumbent in ONE batched support
+    # sweep (sequential subgradient steps were latency-bound). Final
+    # angular resolution ~0.005 rad.
+    n_ring = 8
+    theta = np.linspace(0, 2 * np.pi, n_ring, endpoint=False)
+    ring = jnp.asarray(np.stack([np.cos(theta), np.sin(theta)], 1), dtype)
+    for radius in (0.3, 0.08):
+        # tangent basis per pair
+        helper = jnp.where(
+            jnp.abs(n[:, :1]) < 0.5,
+            jnp.broadcast_to(jnp.asarray([1.0, 0, 0], dtype), n.shape),
+            jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0], dtype), n.shape),
+        )
+        t1v = jnp.cross(n, helper)
+        t1v = t1v / (jnp.linalg.norm(t1v, axis=-1, keepdims=True) + 1e-12)
+        t2v = jnp.cross(n, t1v)
+        cand = (
+            n[:, None, :]
+            + radius * (ring[None, :, :1] * t1v[:, None, :]
+                        + ring[None, :, 1:] * t2v[:, None, :])
+        )
+        cand = cand / (jnp.linalg.norm(cand, axis=-1, keepdims=True) + 1e-12)
+        cand = jnp.concatenate([n[:, None, :], cand], axis=1)   # (K, 9, 3)
+        pp1 = _support_multi(t1, data1, cand)
+        pp2 = _support_multi(t2, data2, -cand)
+        ss = jnp.einsum("kdi,kdi->kd", cand, pp1 - pp2)
+        kk = jnp.argmin(ss, axis=1)
+        n = jnp.take_along_axis(cand, kk[:, None, None], axis=1)[:, 0]
+        s_best = jnp.take_along_axis(ss, kk[:, None], axis=1)[:, 0]
+
+    nd = n[:, None, :]
+    p1 = _support_multi(t1, data1, nd)[:, 0]
+    p2 = _support_multi(t2, data2, -nd)[:, 0]
+    return -s_best, 0.5 * (p1 + p2), n
+
+
+def _collide_box_convex_group(t2, data1, data2, n_refine=8):
+    """Batched box-vs-hull 4-point manifold over K gathered pairs.
+    Returns dist (K,4), pos (K,4,3), normal (K,4,3)."""
+    dist0, pos0, n = _collide_convex_group(GeomType.BOX, t2, data1, data2,
+                                           n_refine)
+    dtype = dist0.dtype
+    K = dist0.shape[0]
+
+    plane_pt = _support_multi(t2, data2, -n[:, None, :])[:, 0]   # (K,3)
+
+    signs = jnp.asarray(
+        [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+         for sz in (-1.0, 1.0)], dtype,
+    )                                                             # (8,3)
+    corners = data1["xpos"][:, None, :] + jnp.einsum(
+        "kij,kcj->kci", data1["xmat"], signs[None, :, :] * data1["size"][:, None, :]
+    )                                                             # (K,8,3)
+    cdist = jnp.einsum("kci,ki->kc", corners - plane_pt[:, None, :], -n)
+
+    # lateral validity via hull support bounds in tangent dirs
+    t1v = jnp.where(
+        (jnp.abs(n[:, :1]) < 0.5),
+        jnp.broadcast_to(jnp.asarray([1.0, 0, 0], dtype), n.shape),
+        jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0], dtype), n.shape),
+    )
+    t1v = t1v - jnp.einsum("ki,ki->k", t1v, n)[:, None] * n
+    t1v = t1v / (jnp.linalg.norm(t1v, axis=-1, keepdims=True) + 1e-12)
+    t2v = jnp.cross(n, t1v)
+    tol = 5e-3
+    tdirs = jnp.stack([t1v, -t1v, t2v, -t2v], axis=1)            # (K,4,3)
+    sup_t = _support_multi(t2, data2, tdirs)                     # (K,4,3)
+    bounds = jnp.einsum("kdi,kdi->kd", tdirs, sup_t)             # (K,4)
+    proj = jnp.einsum("kci,kdi->kcd", corners, tdirs)            # (K,8,4)
+    ok = jnp.all(proj <= bounds[:, None, :] + tol, axis=-1)      # (K,8)
+    cdist = jnp.where(ok, cdist, BIG)
+
+    sel = jnp.argsort(cdist, axis=1)[:, :4]                      # (K,4)
+    dist4 = jnp.take_along_axis(cdist, sel, axis=1)
+    pos4 = jnp.take_along_axis(corners, sel[:, :, None], axis=1) \
+        - 0.5 * dist4[:, :, None] * n[:, None, :]
+    use_fb = dist4[:, 3] >= BIG / 2
+    is3 = jnp.arange(4)[None, :] == 3
+    dist4 = jnp.where(is3 & use_fb[:, None], dist0[:, None], dist4)
+    pos4 = jnp.where(
+        (is3 & use_fb[:, None])[:, :, None], pos0[:, None, :], pos4
+    )
+    return dist4, pos4, jnp.tile(n[:, None, :], (1, 4, 1))
 
 
 def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
@@ -317,9 +363,10 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
     dtype = d.qpos.dtype
     groups = build_groups(c, group_cap)
     rbound = geom_rbound(m)
+    mesh_cache = _mesh_world_cache(m, d) if c.nmesh else None
 
     all_dist, all_pos, all_frame = [], [], []
-    all_g1, all_g2 = [], []
+    all_g1, all_g2, all_condim = [], [], []
 
     for grp in groups:
         g1_np, g2_np = grp["g1"], grp["g2"]
@@ -339,12 +386,15 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
         else:
             score = rbound[g1] + rbound[g2] + margin - cdist
 
+        condim_pair = jnp.asarray(grp["condim"])
         if K < n:
             score_k, sel = jax.lax.top_k(score, K)
             g1k, g2k = g1[sel], g2[sel]
+            condim_k = condim_pair[sel]
             active_bp = score_k > 0
         else:
             g1k, g2k = g1, g2
+            condim_k = condim_pair
             active_bp = score > 0
 
         # --- narrowphase (vmapped over the K winners)
@@ -366,31 +416,29 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
                 d.geom_xpos[g2k], d.geom_xmat[g2k], m.geom_size[g2k],
             )
         elif grp["kind"] == "plane_convex":
-            data2 = _gather_geom(m, d, g2k, t2)
-            if t2 == GeomType.MESH:
-                dist, pos, normal = jax.vmap(prim.plane_convex)(
-                    d.geom_xpos[g1k], d.geom_xmat[g1k], m.geom_size[g1k],
-                    data2["xpos"], data2["xmat"], data2["vert"], data2["mask"],
+            # batched plane-vs-hull over K pairs: 4 deepest world verts
+            data2 = _gather_geom(m, d, g2k, t2, mesh_cache)
+            nrm = d.geom_xmat[g1k][:, :, 2]                        # (K,3)
+            rel = data2["world_vert"] - d.geom_xpos[g1k][:, None, :]
+            vd = jnp.einsum("kvi,ki->kv", rel, nrm)                # (K,V)
+            vd = jnp.where(data2["mask"] > 0, vd, BIG)
+            sel = jnp.argsort(vd, axis=1)[:, :4]                   # (K,4)
+            dist = jnp.take_along_axis(vd, sel, axis=1)
+            pos = (
+                jnp.take_along_axis(
+                    data2["world_vert"], sel[:, :, None], axis=1
                 )
-            else:
-                # treat primitive as its own hull: sample support dirs? use
-                # box corners for BOX handled in plane_prim; others: sphere
-                raise NotImplementedError
+                - 0.5 * dist[:, :, None] * nrm[:, None, :]
+            )
+            normal = jnp.tile(nrm[:, None, :], (1, 4, 1))
         elif grp["kind"] == "box_convex":
-            sup2 = _support_batch(t2)
-            data1 = _gather_geom(m, d, g1k, t1)
-            data2 = _gather_geom(m, d, g2k, t2)
-            dist, pos, normal = jax.vmap(
-                lambda d1, d2, c2: _collide_box_convex_pair(sup2, d1, d2, c2)
-            )(data1, data2, data2["center"])
+            data1 = _gather_geom(m, d, g1k, t1, mesh_cache)
+            data2 = _gather_geom(m, d, g2k, t2, mesh_cache)
+            dist, pos, normal = _collide_box_convex_group(t2, data1, data2)
         else:  # convex
-            sup1 = _support_batch(t1)
-            sup2 = _support_batch(t2)
-            data1 = _gather_geom(m, d, g1k, t1)
-            data2 = _gather_geom(m, d, g2k, t2)
-            dist, pos, normal = jax.vmap(
-                lambda d1, d2, c1, c2: _collide_convex_pair(sup1, sup2, d1, d2, c1, c2)
-            )(data1, data2, data1["center"], data2["center"])
+            data1 = _gather_geom(m, d, g1k, t1, mesh_cache)
+            data2 = _gather_geom(m, d, g2k, t2, mesh_cache)
+            dist, pos, normal = _collide_convex_group(t1, t2, data1, data2)
             dist, pos, normal = dist[:, None], pos[:, None], normal[:, None]
 
         # shape: (K, ncon) / (K, ncon, 3)
@@ -403,12 +451,14 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
         all_frame.append(normal.reshape(-1, 3))
         all_g1.append(jnp.repeat(g1k, ncon))
         all_g2.append(jnp.repeat(g2k, ncon))
+        all_condim.append(jnp.repeat(condim_k, ncon))
 
     dist = jnp.concatenate(all_dist)
     pos = jnp.concatenate(all_pos)
     normal = jnp.concatenate(all_frame)
     g1s = jnp.concatenate(all_g1)
     g2s = jnp.concatenate(all_g2)
+    condims = jnp.concatenate(all_condim)
 
     solref, solimp, friction5, margin, gap = _mix_params(m, g1s, g2s)
     includemargin = margin - gap
@@ -429,17 +479,19 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
         geom1=g1s.astype(jnp.int32),
         geom2=g2s.astype(jnp.int32),
         active=active,
+        condim=condims.astype(jnp.int32),
     )
     return d.replace(contact=contact)
 
 
 def contact_slot_layout(const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP):
-    """Static layout info per contact slot: (condim,) list matching the
-    runtime Contact row order. Used by the constraint assembler."""
+    """Static per-slot UPPER BOUND on condim, matching the runtime Contact
+    row order (slots may carry lower runtime condims after broadphase
+    gathering; Contact.condim has the exact values)."""
     groups = build_groups(const, group_cap)
     condims: List[int] = []
     for grp in groups:
-        condims.extend([grp["condim"]] * (grp["K"] * grp["ncon"]))
+        condims.extend([int(grp["condim"].max())] * (grp["K"] * grp["ncon"]))
     return condims
 
 

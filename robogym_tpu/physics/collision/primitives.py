@@ -289,3 +289,51 @@ def capsule_box(xp1, xm1, s1, xp2, xm2, s2):
     dist, pos, nrm = jax.vmap(sphere_point)(cands)
     sel = jnp.argsort(dist)[:2]
     return dist[sel], pos[sel], nrm[sel]
+
+
+def plane_cylinder(xp1, xm1, s1, xp2, xm2, s2):
+    """Plane vs cylinder: up to 4 rim/face points (mjc_PlaneCylinder-like:
+    both end-disc deep points + perpendicular rim pair on the deeper disc)."""
+    n = xm1[:, 2]
+    r, hh = s2[0], s2[1]
+    axis = xm2[:, 2]
+    na = jnp.dot(n, axis)
+    # radial direction on the disc pointing most against the plane normal
+    rd = -(n - na * axis)
+    rdn = jnp.linalg.norm(rd)
+    safe_rd = jnp.where(rdn > 1e-8, rd / (rdn + 1e-12), _any_orth(axis))
+    perp = jnp.cross(axis, safe_rd)
+    c_lo = xp2 - axis * hh
+    c_hi = xp2 + axis * hh
+    deep_c = jnp.where(jnp.dot(c_lo - xp1, n) < jnp.dot(c_hi - xp1, n), c_lo, c_hi)
+    cands = jnp.stack([
+        c_lo + safe_rd * r,
+        c_hi + safe_rd * r,
+        deep_c + perp * r,
+        deep_c - perp * r,
+    ])
+    dist = (cands - xp1) @ n
+    pos = cands - 0.5 * dist[:, None] * n[None, :]
+    return dist, pos, jnp.tile(n, (4, 1))
+
+
+def plane_ellipsoid(xp1, xm1, s1, xp2, xm2, s2):
+    """Plane vs ellipsoid: support point along -n."""
+    n = xm1[:, 2]
+    local = xm2.T @ (-n)
+    v = s2 * s2 * local
+    v = v / (jnp.linalg.norm(s2 * local) + 1e-12)
+    p = xp2 + xm2 @ v
+    dist = jnp.dot(p - xp1, n)
+    pos = p - 0.5 * dist * n
+    return dist[None], pos[None], n[None]
+
+
+def _any_orth(v):
+    helper = jnp.where(
+        jnp.abs(v[0]) < 0.5,
+        jnp.asarray([1.0, 0.0, 0.0], v.dtype),
+        jnp.asarray([0.0, 1.0, 0.0], v.dtype),
+    )
+    t = jnp.cross(v, helper)
+    return t / (jnp.linalg.norm(t) + 1e-12)

@@ -36,6 +36,8 @@ from robogym_tpu.physics import smooth
 from robogym_tpu.physics.collision import driver as collision_driver
 from robogym_tpu.utils import rotation as rot
 
+BIG = 1e10
+
 # row kinds
 EQ = 0        # two-sided quadratic
 ONESIDED = 1  # active when jar < 0
@@ -249,71 +251,83 @@ def make_efc(m: Model, d: Data):
         active_scalar = jnp.zeros((0,), bool)
     kind_scalar = np.asarray(kind_rows, np.int32)
 
-    # ---- contacts: vectorized per condim class
+    # ---- contacts: top-k ACTIVE slot selection, then one batched facet
+    # emission. The collision driver produces thousands of static slots, of
+    # which only tens are ever penetrating; building Jacobian rows for all
+    # of them made the Newton solve memory-bound on J. Here the
+    # `opt.ncon_active` deepest slots are gathered first (top_k) and rows
+    # exist only for them — the fixed-size analogue of MuJoCo's nconmax.
     con = d.contact
     ncon = con.dist.shape[0]
     J_con_list, pos_con_list = [], []
     solref_con_list, solimp_con_list = [], []
     active_con_list = []
-    contact_slices: List[Tuple[np.ndarray, int]] = []  # (slot idx array, nfacet)
+    contact_sel = None
+    nfacet = 0
 
     if ncon:
-        condims = np.asarray(collision_driver.contact_slot_layout(c), np.int32)
-        assert len(condims) == ncon, (len(condims), ncon)
+        condims_np = np.asarray(collision_driver.contact_slot_layout(c), np.int32)
+        assert len(condims_np) == ncon, (len(condims_np), ncon)
+        max_cd = int(condims_np.max())
+        assert max_cd <= 4, "condim 6 contacts not supported yet"
+        nfacet = {1: 1, 3: 4, 4: 6}[max_cd]
+        S = min(m.opt.ncon_active, ncon)
+
+        # deepest (most negative adjusted dist) first; inactive slots sink
+        score = jnp.where(con.active, con.dist - con.includemargin, BIG)
+        neg_score, sel = jax.lax.top_k(-score, S)
+        contact_sel = sel
+
+        pos_c = con.pos[sel]
+        frame_c = con.frame[sel]
+        dist_c = con.dist[sel]
+        margin_c = con.includemargin[sel]
+        fric_c = con.friction[sel]
+        act = con.active[sel]
+        cd_sel = con.condim[sel]                            # (S,) runtime
         geom_bodyid = jnp.asarray(c.geom_bodyid)
-        for cd in sorted(set(condims.tolist())):
-            idx = np.nonzero(condims == cd)[0]
-            S = len(idx)
-            idx_j = jnp.asarray(idx)
-            pos_c = con.pos[idx_j]              # (S, 3)
-            frame_c = con.frame[idx_j]          # (S, 3, 3)
-            dist_c = con.dist[idx_j]
-            margin_c = con.includemargin[idx_j]
-            fric_c = con.friction[idx_j]
-            b1 = geom_bodyid[con.geom1[idx_j]]
-            b2 = geom_bodyid[con.geom2[idx_j]]
-            Jp1 = _point_jac_batch(m, d, pos_c, b1)   # (S, nv, 3)
-            Jp2 = _point_jac_batch(m, d, pos_c, b2)
-            Jrel = Jp2 - Jp1
-            Jn = jnp.einsum("si,svi->sv", frame_c[:, 0], Jrel)  # (S, nv)
-            pos_row = dist_c - margin_c
-            act = con.active[idx_j]
-            if cd == 1:
-                rows = Jn[:, None, :]                         # (S, 1, nv)
-                nfacet = 1
-            else:
-                Jt1 = jnp.einsum("si,svi->sv", frame_c[:, 1], Jrel)
-                Jt2 = jnp.einsum("si,svi->sv", frame_c[:, 2], Jrel)
-                facets = [
-                    Jn + fric_c[:, 0:1] * Jt1,
-                    Jn - fric_c[:, 0:1] * Jt1,
-                    Jn + fric_c[:, 1:2] * Jt2,
-                    Jn - fric_c[:, 1:2] * Jt2,
-                ]
-                if cd >= 4:
-                    Jr = _rot_jac_batch(m, d, b2) - _rot_jac_batch(m, d, b1)
-                    Jtn = jnp.einsum("si,svi->sv", frame_c[:, 0], Jr)
-                    facets += [
-                        Jn + fric_c[:, 2:3] * Jtn,
-                        Jn - fric_c[:, 2:3] * Jtn,
-                    ]
-                if cd == 6:
-                    Jr1_ = jnp.einsum("si,svi->sv", frame_c[:, 1], Jr)
-                    Jr2_ = jnp.einsum("si,svi->sv", frame_c[:, 2], Jr)
-                    facets += [
-                        Jn + fric_c[:, 3:4] * Jr1_,
-                        Jn - fric_c[:, 3:4] * Jr1_,
-                        Jn + fric_c[:, 4:5] * Jr2_,
-                        Jn - fric_c[:, 4:5] * Jr2_,
-                    ]
-                rows = jnp.stack(facets, axis=1)              # (S, F, nv)
-                nfacet = rows.shape[1]
-            J_con_list.append(rows.reshape(S * nfacet, nv))
-            pos_con_list.append(jnp.repeat(pos_row, nfacet))
-            solref_con_list.append(jnp.repeat(con.solref[idx_j], nfacet, axis=0))
-            solimp_con_list.append(jnp.repeat(con.solimp[idx_j], nfacet, axis=0))
-            active_con_list.append(jnp.repeat(act, nfacet))
-            contact_slices.append((idx, nfacet))
+        b1 = geom_bodyid[con.geom1[sel]]
+        b2 = geom_bodyid[con.geom2[sel]]
+
+        Jp1 = _point_jac_batch(m, d, pos_c, b1)             # (S, nv, 3)
+        Jp2 = _point_jac_batch(m, d, pos_c, b2)
+        Jrel = Jp2 - Jp1
+        Jn = jnp.einsum("si,svi->sv", frame_c[:, 0], Jrel)  # (S, nv)
+        pos_row = dist_c - margin_c
+
+        facets = [Jn]
+        facet_ok = [cd_sel >= 1]
+        if nfacet >= 4:
+            Jt1 = jnp.einsum("si,svi->sv", frame_c[:, 1], Jrel)
+            Jt2 = jnp.einsum("si,svi->sv", frame_c[:, 2], Jrel)
+            facets = [
+                Jn + fric_c[:, 0:1] * Jt1,
+                Jn - fric_c[:, 0:1] * Jt1,
+                Jn + fric_c[:, 1:2] * Jt2,
+                Jn - fric_c[:, 1:2] * Jt2,
+            ]
+            facet_ok = [cd_sel >= 3] * 4
+        if nfacet == 6:
+            Jr = _rot_jac_batch(m, d, b2) - _rot_jac_batch(m, d, b1)
+            Jtn = jnp.einsum("si,svi->sv", frame_c[:, 0], Jr)
+            facets += [
+                Jn + fric_c[:, 2:3] * Jtn,
+                Jn - fric_c[:, 2:3] * Jtn,
+            ]
+            facet_ok += [cd_sel >= 4] * 2
+        rows = jnp.stack(facets, axis=1)                    # (S, F, nv)
+        ok = jnp.stack(facet_ok, axis=1)                    # (S, F)
+        # condim-1 slots keep only the normal row (first facet with +f*Jt1
+        # degenerates to Jn only when friction is 0; mask others)
+        ok = ok | (jnp.arange(nfacet)[None, :] == 0)
+
+        J_con_list.append(rows.reshape(S * nfacet, nv))
+        pos_con_list.append(jnp.repeat(pos_row, nfacet))
+        solref_con_list.append(jnp.repeat(con.solref[sel], nfacet, axis=0))
+        solimp_con_list.append(jnp.repeat(con.solimp[sel], nfacet, axis=0))
+        active_con_list.append(
+            (act[:, None] & ok).reshape(S * nfacet)
+        )
 
     if J_con_list:
         J = jnp.concatenate([J_scalar] + J_con_list)
@@ -331,6 +345,7 @@ def make_efc(m: Model, d: Data):
             return None
         J, pos, solref, solimp = J_scalar, pos_scalar, solref_scalar, solimp_scalar
         floss, active, kind = floss_scalar, active_scalar, kind_scalar
+        contact_sel = None
 
     imp = _impedance(solimp, pos)
     k_ref, b_ref = _ref_kb(solref, imp)
@@ -345,7 +360,7 @@ def make_efc(m: Model, d: Data):
 
     return dict(
         J=J, aref=aref, D=Dmat, floss=floss, kind=kind,
-        n_scalar=n_scalar, contact_slices=contact_slices, ncon=ncon,
+        n_scalar=n_scalar, contact_sel=contact_sel, nfacet=nfacet, ncon=ncon,
     )
 
 
@@ -392,8 +407,28 @@ def solve(m: Model, d: Data, qfrc_smooth: jax.Array) -> Data:
         )
         return base + jnp.sum(c_quad + c_fric)
 
+    if m.opt.solver == "cg":
+        return _solve_cg(m, d, efc, is_eq, is_one, is_fric)
+
     x = d.qacc_smooth
     eye = jnp.eye(nv, dtype=dtype)
+
+    def cost_from_jar(x, jar):
+        dx = x - d.qacc_smooth
+        base = 0.5 * dx @ (M @ dx)
+        quad_active = is_eq | (is_one & (jar < 0))
+        c_quad = 0.5 * D * jar * jar * quad_active
+        absDjar = jnp.abs(D * jar)
+        inside = absDjar < floss
+        c_fric = (
+            jnp.where(
+                inside,
+                0.5 * D * jar * jar,
+                floss * jnp.abs(jar) - 0.5 * floss * floss / jnp.maximum(D, 1e-12),
+            )
+            * is_fric
+        )
+        return base + jnp.sum(c_quad + c_fric)
 
     def newton_iter(i, x):
         jar = J @ x - aref
@@ -402,11 +437,16 @@ def solve(m: Model, d: Data, qfrc_smooth: jax.Array) -> Data:
         H = M + (J.T * w) @ J + 1e-10 * eye
         L = jax.scipy.linalg.cholesky(H, lower=True)
         p = -jax.scipy.linalg.cho_solve((L, True), grad)
-        alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.02], dtype)
-        costs = jax.vmap(lambda a: cost_fn(x + a * p))(alphas)
+        # line search over fixed candidates: Jx and Jp are computed ONCE —
+        # each candidate cost uses jar(a) = (Jx - aref) + a*Jp (no further
+        # J reads, which dominate the solve's memory traffic)
+        Jp = J @ p
+        alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1, 0.02, 0.0], dtype)
+        costs = jax.vmap(
+            lambda a: cost_from_jar(x + a * p, jar + a * Jp)
+        )(alphas)
         best = jnp.argmin(costs)
-        improved = costs[best] < cost_fn(x)
-        a = jnp.where(improved, alphas[best], 0.0)
+        a = alphas[best]
         return x + a * p
 
     x = jax.lax.fori_loop(0, m.opt.iterations, newton_iter, x)
@@ -419,12 +459,113 @@ def solve(m: Model, d: Data, qfrc_smooth: jax.Array) -> Data:
     # contact diagnostics: normal force per contact = sum of its facet forces
     ncon = efc["ncon"]
     efc_force_contact = jnp.zeros(max(ncon, d.contact.dist.shape[0]), dtype)
-    row0 = efc["n_scalar"]
-    for idx, nfacet in efc["contact_slices"]:
-        S = len(idx)
+    if efc["contact_sel"] is not None:
+        nfacet = efc["nfacet"]
+        sel = efc["contact_sel"]
+        S = sel.shape[0]
+        row0 = efc["n_scalar"]
         block = f[row0 : row0 + S * nfacet].reshape(S, nfacet).sum(axis=1)
-        efc_force_contact = efc_force_contact.at[jnp.asarray(idx)].set(block)
-        row0 += S * nfacet
+        efc_force_contact = efc_force_contact.at[sel].set(block)
+
+    return d.replace(
+        qacc=x,
+        qfrc_constraint=qfrc_constraint,
+        efc_force_contact=efc_force_contact,
+    )
+
+
+def _solve_cg(m: Model, d: Data, efc, is_eq, is_one, is_fric) -> Data:
+    """Preconditioned nonlinear CG on the same primal objective.
+
+    The Newton path factors a (nv, nv) Hessian per iteration — batched small
+    Choleskys are the slowest primitive on TPU. CG replaces them with pure
+    (nefc, nv) matvecs: M is factored ONCE per substep as the preconditioner,
+    each iteration costs ~3 matvecs + a candidate line search that reuses
+    J@p (MuJoCo's mjSOL_CG is the same construction). Warmstarted from the
+    previous substep's qacc (mj_warmstart analogue).
+    """
+    J, aref, D, floss, kind = (
+        efc["J"], efc["aref"], efc["D"], efc["floss"], efc["kind"]
+    )
+    dtype = d.qpos.dtype
+    M = d.qM
+
+    L_M = jax.scipy.linalg.cholesky(
+        M + 1e-9 * jnp.eye(M.shape[0], dtype=dtype), lower=True
+    )
+
+    def force(jar):
+        quad_active = is_eq | (is_one & (jar < 0))
+        f_quad = D * jar * quad_active
+        f_fric = jnp.clip(D * jar, -floss, floss) * is_fric
+        return f_quad + f_fric
+
+    def cost_from_jar(x, jar):
+        dx = x - d.qacc_smooth
+        base = 0.5 * dx @ (M @ dx)
+        quad_active = is_eq | (is_one & (jar < 0))
+        c_quad = 0.5 * D * jar * jar * quad_active
+        absDjar = jnp.abs(D * jar)
+        inside = absDjar < floss
+        c_fric = (
+            jnp.where(
+                inside,
+                0.5 * D * jar * jar,
+                floss * jnp.abs(jar)
+                - 0.5 * floss * floss / jnp.maximum(D, 1e-12),
+            )
+            * is_fric
+        )
+        return base + jnp.sum(c_quad + c_fric)
+
+    def grad(x, jar):
+        return M @ (x - d.qacc_smooth) + J.T @ force(jar)
+
+    # warmstart from the previous substep's qacc (zero right after reset)
+    x0 = jnp.where(jnp.isfinite(d.qacc).all(), d.qacc, d.qacc_smooth)
+    jar0 = J @ x0 - aref
+    g0 = grad(x0, jar0)
+    Mg0 = jax.scipy.linalg.cho_solve((L_M, True), g0)
+    p0 = -Mg0
+
+    alphas = jnp.asarray(
+        [2.0, 1.0, 0.5, 0.25, 0.12, 0.06, 0.03, 0.015, 0.005, 0.0], dtype
+    )
+
+    def body(carry, _):
+        x, jar, g, Mg, p = carry
+        Jp = J @ p
+        costs = jax.vmap(
+            lambda a: cost_from_jar(x + a * p, jar + a * Jp)
+        )(alphas)
+        a = alphas[jnp.argmin(costs)]
+        x = x + a * p
+        jar = jar + a * Jp
+        g_new = grad(x, jar)
+        Mg_new = jax.scipy.linalg.cho_solve((L_M, True), g_new)
+        # Polak-Ribiere+ with automatic restart
+        num = jnp.dot(g_new, Mg_new - Mg)
+        den = jnp.maximum(jnp.dot(g, Mg), 1e-12)
+        beta = jnp.maximum(num / den, 0.0)
+        p = -Mg_new + beta * p
+        return (x, jar, g_new, Mg_new, p), ()
+
+    (x, jar, _, _, _), _ = jax.lax.scan(
+        body, (x0, jar0, g0, Mg0, p0), None, length=m.opt.iterations
+    )
+
+    f = -force(jar)
+    qfrc_constraint = J.T @ f
+
+    ncon = efc["ncon"]
+    efc_force_contact = jnp.zeros(max(ncon, d.contact.dist.shape[0]), dtype)
+    if efc["contact_sel"] is not None:
+        nfacet = efc["nfacet"]
+        sel = efc["contact_sel"]
+        S = sel.shape[0]
+        row0 = efc["n_scalar"]
+        block = f[row0 : row0 + S * nfacet].reshape(S, nfacet).sum(axis=1)
+        efc_force_contact = efc_force_contact.at[sel].set(block)
 
     return d.replace(
         qacc=x,

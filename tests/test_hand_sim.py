@@ -48,7 +48,9 @@ def test_hand_structure(hand_model):
     assert c.nq == 24 and c.nv == 24
     assert c.nu == 20
     assert c.ntendon == 12
-    assert c.na == 60  # 20 PID actuators x 3 state slots
+    # 4 controller-state slots per user-gain actuator (PID uses 3; the
+    # cascaded-PI controller needs 4, so allocation is uniform)
+    assert c.na == 80
     # every actuator is the user-gain PID controller
     assert np.all(c.actuator_gaintype == 2)
 
