@@ -252,15 +252,16 @@ class CubeEnvBase:
             self.model, d, cst.n_random_initial_steps * cst.mujoco_substeps
         )
 
-    def reset_physics(self, key: jax.Array) -> Data:
+    def reset_physics(self, key: jax.Array, initial: Data | None = None) -> Data:
         """Retry pose randomization until the cube rests on the palm
         (cube_env.py:330-355). Bounded lax.while_loop; identical instruction
         stream across the batch."""
         cst = self.constants
+        base = self._settled_data if initial is None else initial
 
         def attempt(key):
             k1, k2 = jax.random.split(key)
-            d = self._randomize_cube_pose(k1, self._settled_data)
+            d = self._randomize_cube_pose(k1, base)
             d = self._random_warmup_steps(k2, d)
             return d
 

@@ -138,9 +138,27 @@ def convex_hull(verts: np.ndarray, max_verts: int = 64) -> np.ndarray:
     return np.asarray(hv[sel], dtype=np.float64)
 
 
+def load_msh(path: str):
+    """MuJoCo legacy binary .msh: [nvertex, nnormal, ntexcoord, nface] int32
+    header then float32 vertex/normal/texcoord blocks and int32 faces
+    (the rubik cubelet mesh, assets/xmls/rubik/rubik_perpendicular.xml:89)."""
+    import struct
+    with open(path, "rb") as f:
+        data = f.read()
+    nv, nn, nt, nf = struct.unpack("<4i", data[:16])
+    off = 16
+    verts = np.frombuffer(data, "<f4", 3 * nv, off).reshape(nv, 3).astype(np.float64)
+    off += 12 * nv + 12 * nn + 8 * nt
+    faces = np.frombuffer(data, "<i4", 3 * nf, off).reshape(nf, 3).copy()
+    return verts.copy(), faces
+
+
 def load_mesh_asset(path: str, scale: np.ndarray) -> dict:
     """Load one <mesh> asset: raw verts/faces + collision hull + mass props."""
-    verts, faces = load_stl(path)
+    if path.endswith(".msh"):
+        verts, faces = load_msh(path)
+    else:
+        verts, faces = load_stl(path)
     verts = verts * np.asarray(scale)
     vol, com, inertia = mesh_volume_com_inertia(verts, faces)
     if vol <= 0:

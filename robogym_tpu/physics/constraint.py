@@ -269,8 +269,7 @@ def make_efc(m: Model, d: Data):
         condims_np = np.asarray(collision_driver.contact_slot_layout(c), np.int32)
         assert len(condims_np) == ncon, (len(condims_np), ncon)
         max_cd = int(condims_np.max())
-        assert max_cd <= 4, "condim 6 contacts not supported yet"
-        nfacet = {1: 1, 3: 4, 4: 6}[max_cd]
+        nfacet = {1: 1, 3: 4, 4: 6, 6: 10}[max_cd]
         S = min(m.opt.ncon_active, ncon)
 
         # deepest (most negative adjusted dist) first; inactive slots sink
@@ -307,7 +306,7 @@ def make_efc(m: Model, d: Data):
                 Jn - fric_c[:, 1:2] * Jt2,
             ]
             facet_ok = [cd_sel >= 3] * 4
-        if nfacet == 6:
+        if nfacet >= 6:
             Jr = _rot_jac_batch(m, d, b2) - _rot_jac_batch(m, d, b1)
             Jtn = jnp.einsum("si,svi->sv", frame_c[:, 0], Jr)
             facets += [
@@ -315,6 +314,16 @@ def make_efc(m: Model, d: Data):
                 Jn - fric_c[:, 2:3] * Jtn,
             ]
             facet_ok += [cd_sel >= 4] * 2
+        if nfacet == 10:
+            Jr1_ = jnp.einsum("si,svi->sv", frame_c[:, 1], Jr)
+            Jr2_ = jnp.einsum("si,svi->sv", frame_c[:, 2], Jr)
+            facets += [
+                Jn + fric_c[:, 3:4] * Jr1_,
+                Jn - fric_c[:, 3:4] * Jr1_,
+                Jn + fric_c[:, 4:5] * Jr2_,
+                Jn - fric_c[:, 4:5] * Jr2_,
+            ]
+            facet_ok += [cd_sel >= 6] * 4
         rows = jnp.stack(facets, axis=1)                    # (S, F, nv)
         ok = jnp.stack(facet_ok, axis=1)                    # (S, F)
         # condim-1 slots keep only the normal row (first facet with +f*Jt1

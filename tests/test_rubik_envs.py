@@ -1,0 +1,125 @@
+"""Rubik face/full perpendicular env tests.
+
+Mirrors the reference tests (envs/dactyl/tests/test_locked.py style smoke +
+cube_manipulator semantics checks from test_rubik_solvers.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robogym_tpu.envs.dactyl import cube_manipulator as manip
+from robogym_tpu.utils import rotation as rot
+
+SMALL = dict(
+    mujoco_substeps=2, n_random_initial_steps=0, reset_initial_steps=2,
+    max_pose_resets=1,
+)
+
+
+class _Shared:
+    def __init__(self, make_env, extra=None):
+        self.env = make_env(dict(SMALL, **(extra or {})), dtype=jnp.float64)
+        self.reset = jax.jit(self.env.reset)
+        self.step = jax.jit(self.env.step)
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+
+@pytest.fixture(scope="module")
+def face_env():
+    from robogym_tpu.envs.dactyl.face_perpendicular import make_env
+    return _Shared(make_env)
+
+
+@pytest.fixture(scope="module")
+def full_env():
+    from robogym_tpu.envs.dactyl.full_perpendicular import make_env
+    return _Shared(make_env, dict(num_scramble_steps=6))
+
+
+def test_face_env_smoke(face_env):
+    state, obs = face_env.reset(jax.random.key(0))
+    assert obs["cube_face_angle"].shape == (2,)
+    assert obs["goal_face_angle"].shape == (2,)
+    state, obs, reward, done, info = face_env.step(state, jnp.zeros(20))
+    assert reward.shape == (3,)
+    assert bool(jnp.isfinite(state.physics.qpos).all())
+
+
+def test_face_goal_semantics(face_env):
+    """Goals either flip the cube (straight faces) or rotate a face by 90
+    degrees (goals/face_curriculum.py:59-132)."""
+    state, _ = face_env.reset(jax.random.key(1))
+    gf = np.asarray(state.goal["cube_face_angle"])
+    straight = np.round(gf / (np.pi / 2)) * (np.pi / 2)
+    np.testing.assert_allclose(gf, straight, atol=1e-5)
+    gq = np.asarray(state.goal["cube_quat"])
+    np.testing.assert_allclose(np.linalg.norm(gq), 1.0, atol=1e-6)
+
+
+def test_full_env_smoke(full_env):
+    state, obs = full_env.reset(jax.random.key(0))
+    assert obs["cube_face_angle"].shape == (6,)
+    state, obs, reward, done, info = full_env.step(state, jnp.zeros(20))
+    assert bool(jnp.isfinite(state.physics.qpos).all())
+
+
+def test_full_scramble_differs_by_seed(full_env):
+    s1, o1 = full_env.reset(jax.random.key(2))
+    s2, o2 = full_env.reset(jax.random.key(3))
+    assert not np.allclose(np.asarray(o1["qpos"]), np.asarray(o2["qpos"]))
+
+
+# ---- cube manipulator semantics ------------------------------------------
+
+
+def test_rotate_face_four_turns_identity(full_env):
+    """Four quarter turns of the same face return cubelets to identity
+    (cube_manipulator.py rotate_face semantics)."""
+    idx = full_env.cubelets
+    q = full_env.env._settled_data.qpos
+    q0 = manip.snap_cubelets(idx, q)
+    qq = q0
+    for _ in range(4):
+        qq = manip.rotate_face(idx, qq, jnp.asarray(2), jnp.asarray(1),
+                               jnp.asarray(jnp.pi / 2))
+    e0 = np.asarray(manip.cubelet_eulers(idx, q0))
+    e4 = np.asarray(manip.cubelet_eulers(idx, manip.snap_cubelets(idx, qq)))
+    m0 = np.asarray(jax.vmap(rot.euler2mat)(jnp.asarray(e0)))
+    m4 = np.asarray(jax.vmap(rot.euler2mat)(jnp.asarray(e4)))
+    np.testing.assert_allclose(m0, m4, atol=1e-5)
+    # driver advanced by 2*pi
+    d4 = np.asarray(manip.driver_angles(idx, qq))
+    assert d4[5] == pytest.approx(2 * np.pi, abs=1e-5)
+
+
+def test_rotate_face_selects_nine_cubelets(full_env):
+    """A face rotation moves exactly the 8 cubelets on that face (plus the
+    driver; centers have no euler joints)."""
+    idx = full_env.cubelets
+    q0 = manip.snap_cubelets(idx, full_env.env._settled_data.qpos)
+    q1 = manip.rotate_face(idx, q0, jnp.asarray(0), jnp.asarray(0),
+                           jnp.asarray(jnp.pi / 2))
+    e0 = np.asarray(manip.cubelet_eulers(idx, q0))
+    e1 = np.asarray(manip.cubelet_eulers(idx, q1))
+    moved = (~np.isclose(e0, e1, atol=1e-6)).any(axis=1)
+    assert moved.sum() == 8
+    # the moved cubelets are those with x == -1 home coords rotated... at
+    # identity state: home coords x == -1
+    assert (full_env.cubelets.coords[moved][:, 0] == -1).all()
+
+
+def test_scramble_preserves_permutation(full_env):
+    idx = full_env.cubelets
+    q0 = manip.snap_cubelets(idx, full_env.env._settled_data.qpos)
+    q1 = manip.scramble(idx, q0, jax.random.key(7), 12)
+    eul = manip.cubelet_eulers(idx, q1)
+    mats = np.asarray(jax.vmap(rot.euler2mat)(eul))
+    # every cubelet matrix is a signed permutation (rows sum of abs == 1)
+    np.testing.assert_allclose(np.abs(mats).sum(axis=2), 1.0, atol=1e-5)
+    # the 20 cubelets occupy 20 distinct positions
+    pos = np.einsum("cij,cj->ci", mats, full_env.cubelets.coords)
+    pos_set = {tuple(np.round(p).astype(int)) for p in pos}
+    assert len(pos_set) == 20
