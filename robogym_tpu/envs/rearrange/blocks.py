@@ -32,6 +32,7 @@ from robogym_tpu.mjcf.model import Data, make_data
 from robogym_tpu.physics import step as physics
 from robogym_tpu.robot import composite as composite_lib
 from robogym_tpu.robot import gripper as gripper_lib
+from robogym_tpu.robot import tcp_solver
 from robogym_tpu.robot import ur16e as arm_lib
 from robogym_tpu.utils import rotation as rot
 
@@ -149,11 +150,17 @@ class BlocksRearrangeEnv:
         quat0 = jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype),
                          (sp.max_num_objects, 1))
         d0 = sim_lib.set_object_poses(idx, d0, pos0, quat0)
-        # hold arm at initial pose while settling
-        d0 = d0.replace(ctrl=composite_lib.set_position_control_joint(
-            self.robot, model, d0, jnp.zeros(self.action_size, dtype),
-            relative_action=True,
-        ))
+        if rcp.is_tcp_controlled():
+            # align the mocap weld target to the gripper before settling
+            d0 = tcp_solver.reset_mocap_to_body(
+                physics.fwd_position(model, d0), self.robot.arm.tcp_body_id
+            )
+        else:
+            # hold arm at initial pose while settling
+            d0 = d0.replace(ctrl=composite_lib.set_position_control_joint(
+                self.robot, model, d0, jnp.zeros(self.action_size, dtype),
+                relative_action=True,
+            ))
         settle = jax.jit(lambda d: physics.step_n(
             model, d, 5 * self.constants.mujoco_substeps))
         d0 = jax.block_until_ready(settle(d0))
@@ -248,9 +255,22 @@ class BlocksRearrangeEnv:
         active = self._active_mask()
 
         d = state.physics
-        ctrl = composite_lib.set_position_control_joint(
-            self.robot, m, d, action, relative_action=cst.relative_action
-        )
+        rcp = self.parameters.robot_control_params
+        if rcp.is_tcp_controlled():
+            # TCP mocap mode (free_dof_tcp_arm.py): arm action advances the
+            # mocap weld target; gripper action is the last dim
+            d = tcp_solver.tcp_set_position_control(
+                m, d, self.robot.arm.tcp_body_id, action[:-1],
+                rcp.control_mode, rcp.default_max_position_change(),
+            )
+            ctrl = gripper_lib.denormalize_position_control(
+                self.robot.gripper, m, d, action[-1:],
+                relative_action=cst.relative_action,
+            )
+        else:
+            ctrl = composite_lib.set_position_control_joint(
+                self.robot, m, d, action, relative_action=cst.relative_action
+            )
         d = d.replace(ctrl=ctrl)
         d = physics.step_n(m, d, cst.mujoco_substeps)
 

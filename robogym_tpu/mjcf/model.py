@@ -288,7 +288,7 @@ class Option(_Replaceable):
     # active-contact budget: the constraint assembler gathers the
     # `ncon_active` deepest contact slots before building Jacobians (the
     # fixed-size analogue of MuJoCo's nconmax, cube_env.py:229-243)
-    ncon_active: int = dataclasses.field(metadata=dict(static=True), default=64)
+    ncon_active: int = dataclasses.field(metadata=dict(static=True), default=48)
     # constraint solver: "newton" (per-iteration Hessian Cholesky) or "cg"
     # (preconditioned nonlinear CG, MuJoCo mjSOL_CG analogue - the fast path
     # on TPU where batched small Choleskys are slow)

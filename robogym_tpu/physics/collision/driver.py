@@ -64,7 +64,7 @@ _CONVEX_TYPES = (
 # (hand self-collision, 899 pairs in the locked world) rarely has more than
 # a handful of active pairs, so it gets a tighter budget
 DEFAULT_GROUP_CAP = 48
-KIND_GROUP_CAP = {"convex": 24}
+KIND_GROUP_CAP = {"convex": 16, "box_convex": 32}
 
 
 @functools.lru_cache(maxsize=32)
