@@ -37,7 +37,13 @@ def build_env(name: str):
         )
     from robogym_tpu.envs.dactyl.locked import make_env
 
-    return make_env(dtype=jnp.float32)
+    env = make_env(dtype=jnp.float32)
+    if os.environ.get("BENCH_WRAPPED"):
+        # headline number including the full default wrapper-stack cost
+        from robogym_tpu import wrappers as W
+
+        env = W.apply_dactyl_wrappers(env, randomize=True)
+    return env
 
 
 def main():
@@ -78,10 +84,11 @@ def main():
     steps_per_s = B * N_STEPS / dt
     n_chips = max(len(jax.devices()), 1)
     baseline_per_chip = 1_000_000 / 8.0  # north-star aggregate over v5p-8
+    tag = "wrapped " if os.environ.get("BENCH_WRAPPED") else ""
     print(
         json.dumps(
             {
-                "metric": f"dactyl/{name} env-steps/s @ batch={B} (1 chip)",
+                "metric": f"dactyl/{name} {tag}env-steps/s @ batch={B} (1 chip)",
                 "value": round(steps_per_s, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(steps_per_s / (baseline_per_chip * n_chips), 4),

@@ -283,12 +283,12 @@ class Option(_Replaceable):
     viscosity: jax.Array       # ()
     impratio: jax.Array        # ()
     # static solver config
-    iterations: int = dataclasses.field(metadata=dict(static=True), default=30)
+    iterations: int = dataclasses.field(metadata=dict(static=True), default=20)
     ls_iterations: int = dataclasses.field(metadata=dict(static=True), default=8)
     # active-contact budget: the constraint assembler gathers the
     # `ncon_active` deepest contact slots before building Jacobians (the
     # fixed-size analogue of MuJoCo's nconmax, cube_env.py:229-243)
-    ncon_active: int = dataclasses.field(metadata=dict(static=True), default=48)
+    ncon_active: int = dataclasses.field(metadata=dict(static=True), default=32)
     # constraint solver: "newton" (per-iteration Hessian Cholesky) or "cg"
     # (preconditioned nonlinear CG, MuJoCo mjSOL_CG analogue - the fast path
     # on TPU where batched small Choleskys are slow)

@@ -142,23 +142,27 @@ def geom_rbound(m: Model) -> jax.Array:
 
 
 def _mesh_world_cache(m: Model, d: Data):
-    """World-frame hull verts/masks computed ONCE PER GEOM per substep
-    (each mesh geom participates in many pairs; per-pair transforms were the
-    single hottest cost in the old narrowphase)."""
+    """World-frame hull verts/masks computed ONCE PER GEOM per substep.
+
+    Layout is V-MINOR: world verts are (ngeom, 3, V) so every downstream
+    reduction (support dots, max-selects) runs over the minor/lane axis —
+    the layout the VPU wants. Per-pair transforms and vertex gathers were
+    the hottest cost in the old narrowphase."""
     c = m.const
     mids = jnp.clip(jnp.asarray(c.geom_dataid), 0, max(c.nmesh - 1, 0))
     verts = m.mesh_convex_vert[mids]                 # (ngeom, V, 3)
-    world = d.geom_xpos[:, None, :] + jnp.einsum(
-        "gvj,gij->gvi", verts, d.geom_xmat
-    )
-    mask = m.mesh_convex_mask[mids]
+    # world[g, i, v] = xpos[g, i] + sum_j xmat[g, i, j] * verts[g, v, j]
+    world = d.geom_xpos[:, :, None] + jnp.sum(
+        d.geom_xmat[:, :, :, None] * jnp.swapaxes(verts, 1, 2)[:, None, :, :],
+        axis=2,
+    )                                                # (ngeom, 3, V)
+    mask = m.mesh_convex_mask[mids]                  # (ngeom, V)
     center = d.geom_xpos + jnp.einsum(
         "gij,gj->gi", d.geom_xmat, m.mesh_convex_center[mids]
     )
     # park padded vertices AT the hull center: their support dot can never
-    # exceed a real vertex's, so the argmax sweep needs no mask (saves a
-    # full (K, V, D) where-copy in the hot path)
-    world = jnp.where(mask[:, :, None] > 0, world, center[:, None, :])
+    # exceed a real vertex's, so the support sweep needs no mask
+    world = jnp.where(mask[:, None, :] > 0, world, center[:, :, None])
     return world, mask, center
 
 
@@ -183,23 +187,36 @@ def _support_multi(gtype: int, data, dirs: jax.Array) -> jax.Array:
     sets `dirs` (K, D, 3). One fused GEMM per call site instead of D
     closure invocations."""
     if gtype == GeomType.MESH:
-        # (K, V, D) dots: the argmax pass runs in bf16 on CENTERED verts
-        # (halves the dominant HBM traffic; centering keeps the absolute
-        # rounding error ~0.4% of the hull extent, i.e. sub-mm), then the
-        # winning vertex is returned at full precision.
-        wv = data["world_vert"]
-        centered = (wv - data["center"][:, None, :]).astype(jnp.bfloat16)
-        dots = jnp.einsum(
-            "kvi,kdi->kvd", centered, dirs.astype(jnp.bfloat16),
-            preferred_element_type=jnp.bfloat16,
-        )
-        idx = jnp.argmax(dots, axis=1)                     # (K, D)
-        return jnp.take_along_axis(wv, idx[:, :, None], axis=1)
+        # (K, D, V) dots via broadcast-multiply-reduce over the MINOR V
+        # axis, NOT dot_general: a (K*B)-batched GEMM with M=V, N=D, K=3
+        # pads each micro-matmul to the 128x128 MXU (<0.5% utilization);
+        # this form lowers to VPU code. The winning vertex is extracted by
+        # a max-compare ONE-HOT reduction instead of argmax +
+        # take_along_axis — general gathers lower poorly on TPU. Tied
+        # maxima average to the extreme-face centroid (a valid support
+        # point). bf16 on CENTERED verts (centering keeps rounding error
+        # ~0.4% of hull extent, sub-mm).
+        wv = data["world_vert"]                            # (K, 3, V)
+        centered = (wv - data["center"][:, :, None]).astype(jnp.bfloat16)
+        dots = jnp.sum(
+            dirs.astype(jnp.bfloat16)[:, :, :, None] * centered[:, None, :, :],
+            axis=2,
+        )                                                  # (K, D, V)
+        dmax = jnp.max(dots, axis=-1, keepdims=True)
+        onehot = (dots >= dmax).astype(wv.dtype)           # (K, D, V)
+        onehot = onehot / jnp.sum(onehot, axis=-1, keepdims=True)
+        return jnp.sum(
+            onehot[:, :, None, :] * wv[:, None, :, :], axis=-1
+        )                                                  # (K, D, 3)
     if gtype == GeomType.BOX:
-        local = jnp.einsum("kji,kdj->kdi", data["xmat"], dirs)   # (K,D,3)
+        # broadcast-sum forms (not einsum): batched micro-GEMMs of shape
+        # (D,3)x(3,3) waste the MXU; the elementwise form stays on the VPU
+        local = jnp.sum(
+            data["xmat"][:, None, :, :] * dirs[:, :, :, None], axis=2
+        )                                                        # (K,D,3)
         corner = jnp.sign(local) * data["size"][:, None, :]
-        return data["xpos"][:, None, :] + jnp.einsum(
-            "kij,kdj->kdi", data["xmat"], corner
+        return data["xpos"][:, None, :] + jnp.sum(
+            data["xmat"][:, None, :, :] * corner[:, :, None, :], axis=-1
         )
     if gtype == GeomType.SPHERE:
         n = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
@@ -227,14 +244,16 @@ def _support_multi(gtype: int, data, dirs: jax.Array) -> jax.Array:
             + radial / rn * data["size"][:, None, :1]
         )
     if gtype == GeomType.ELLIPSOID:
-        local = jnp.einsum("kji,kdj->kdi", data["xmat"], dirs)
+        local = jnp.sum(
+            data["xmat"][:, None, :, :] * dirs[:, :, :, None], axis=2
+        )
         v = data["size"][:, None, :] ** 2 * local
         v = v / (
             jnp.linalg.norm(data["size"][:, None, :] * local, axis=-1,
                             keepdims=True) + 1e-12
         )
-        return data["xpos"][:, None, :] + jnp.einsum(
-            "kij,kdj->kdi", data["xmat"], v
+        return data["xpos"][:, None, :] + jnp.sum(
+            data["xmat"][:, None, :, :] * v[:, :, None, :], axis=-1
         )
     raise NotImplementedError(f"support for type {gtype}")
 
@@ -320,10 +339,11 @@ def _collide_box_convex_group(t2, data1, data2, n_refine=8):
         [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
          for sz in (-1.0, 1.0)], dtype,
     )                                                             # (8,3)
-    corners = data1["xpos"][:, None, :] + jnp.einsum(
-        "kij,kcj->kci", data1["xmat"], signs[None, :, :] * data1["size"][:, None, :]
+    local_corners = signs[None, :, :] * data1["size"][:, None, :]
+    corners = data1["xpos"][:, None, :] + jnp.sum(
+        data1["xmat"][:, None, :, :] * local_corners[:, :, None, :], axis=-1
     )                                                             # (K,8,3)
-    cdist = jnp.einsum("kci,ki->kc", corners - plane_pt[:, None, :], -n)
+    cdist = jnp.sum((corners - plane_pt[:, None, :]) * (-n)[:, None, :], -1)
 
     # lateral validity via hull support bounds in tangent dirs
     t1v = jnp.where(
@@ -338,12 +358,14 @@ def _collide_box_convex_group(t2, data1, data2, n_refine=8):
     tdirs = jnp.stack([t1v, -t1v, t2v, -t2v], axis=1)            # (K,4,3)
     sup_t = _support_multi(t2, data2, tdirs)                     # (K,4,3)
     bounds = jnp.einsum("kdi,kdi->kd", tdirs, sup_t)             # (K,4)
-    proj = jnp.einsum("kci,kdi->kcd", corners, tdirs)            # (K,8,4)
+    proj = jnp.sum(
+        corners[:, :, None, :] * tdirs[:, None, :, :], axis=-1
+    )                                                            # (K,8,4)
     ok = jnp.all(proj <= bounds[:, None, :] + tol, axis=-1)      # (K,8)
     cdist = jnp.where(ok, cdist, BIG)
 
-    sel = jnp.argsort(cdist, axis=1)[:, :4]                      # (K,4)
-    dist4 = jnp.take_along_axis(cdist, sel, axis=1)
+    neg4, sel = jax.lax.top_k(-cdist, 4)                         # (K,4)
+    dist4 = -neg4
     pos4 = jnp.take_along_axis(corners, sel[:, :, None], axis=1) \
         - 0.5 * dist4[:, :, None] * n[:, None, :]
     use_fb = dist4[:, 3] >= BIG / 2
@@ -419,17 +441,23 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
             # batched plane-vs-hull over K pairs: 4 deepest world verts
             data2 = _gather_geom(m, d, g2k, t2, mesh_cache)
             nrm = d.geom_xmat[g1k][:, :, 2]                        # (K,3)
-            rel = data2["world_vert"] - d.geom_xpos[g1k][:, None, :]
-            vd = jnp.einsum("kvi,ki->kv", rel, nrm)                # (K,V)
+            wv = data2["world_vert"]                               # (K,3,V)
+            rel = wv - d.geom_xpos[g1k][:, :, None]
+            vd = jnp.sum(rel * nrm[:, :, None], axis=1)            # (K,V)
             vd = jnp.where(data2["mask"] > 0, vd, BIG)
-            sel = jnp.argsort(vd, axis=1)[:, :4]                   # (K,4)
-            dist = jnp.take_along_axis(vd, sel, axis=1)
-            pos = (
-                jnp.take_along_axis(
-                    data2["world_vert"], sel[:, :, None], axis=1
-                )
-                - 0.5 * dist[:, :, None] * nrm[:, None, :]
-            )
+            neg4, sel = jax.lax.top_k(-vd, 4)                      # (K,4)
+            dist = -neg4
+            # extract the 4 deepest verts via iota-compare one-hot (TPU
+            # gathers are slow; this is a lane-minor reduction)
+            V = vd.shape[-1]
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, 4, V), 2)
+                == sel[:, :, None]
+            ).astype(wv.dtype)                                     # (K,4,V)
+            picked = jnp.sum(
+                onehot[:, :, None, :] * wv[:, None, :, :], axis=-1
+            )                                                      # (K,4,3)
+            pos = picked - 0.5 * dist[:, :, None] * nrm[:, None, :]
             normal = jnp.tile(nrm[:, None, :], (1, 4, 1))
         elif grp["kind"] == "box_convex":
             data1 = _gather_geom(m, d, g1k, t1, mesh_cache)

@@ -33,6 +33,7 @@ import numpy as np
 
 from robogym_tpu.mjcf.model import Data, EqType, JointType, Model
 from robogym_tpu.physics import smooth
+from robogym_tpu.physics import tables
 from robogym_tpu.physics.collision import driver as collision_driver
 from robogym_tpu.utils import rotation as rot
 
@@ -96,11 +97,15 @@ def _rot_jac_batch(m: Model, d: Data, bodyids: jax.Array):
     return d.cdof[None, :, :3] * mask[:, :, None]   # (S, nv, 3)
 
 
-def make_efc(m: Model, d: Data):
+def make_efc(m: Model, d: Data, Minv: jax.Array = None):
     """Assemble constraint rows: J (nefc, nv), aref, D, floss, kind arrays.
 
     Row layout (static): [equality | dof friction | joint limits |
     tendon limits | contact facets by condim class].
+
+    `Minv` is the explicit inverse mass matrix computed once per substep —
+    regularization needs diag(J M^-1 J^T); a matmul against Minv replaces
+    the batched triangular solves that were latency-bound on TPU.
     """
     c = m.const
     dtype = d.qpos.dtype
@@ -184,64 +189,81 @@ def make_efc(m: Model, d: Data):
             floss_rows.append(jnp.zeros((), dtype))
             active_rows.append(act)
 
-    # ---- dof friction loss (row existence static via const table)
-    for i in range(nv):
-        if bool(c.dof_has_frictionloss[i]):
-            J_rows.append(jnp.zeros(nv, dtype).at[i].set(1.0))
-            pos_rows.append(jnp.zeros((), dtype))
-            solref_rows.append(m.dof_solref[i])
-            solimp_rows.append(m.dof_solimp[i])
-            kind_rows.append(FRICTION)
-            floss_rows.append(m.dof_frictionloss[i])
-            active_rows.append(jnp.asarray(True))
+    # equality rows assembled above arrive one-by-one; gather them as the
+    # first block, then append vectorized blocks for friction/limits.
+    blocks = []  # (J, pos, solref, solimp, floss, active, kind_np)
+    if J_rows:
+        blocks.append((
+            jnp.stack(J_rows), jnp.stack(pos_rows), jnp.stack(solref_rows),
+            jnp.stack(solimp_rows), jnp.stack(floss_rows),
+            jnp.stack(active_rows), np.asarray(kind_rows, np.int32),
+        ))
 
-    # ---- joint limits
-    for j in range(c.njnt):
-        if not bool(c.jnt_limited[j]):
-            continue
-        jt = int(c.jnt_type[j])
-        if jt not in (JointType.HINGE, JointType.SLIDE):
-            continue
-        qadr = int(c.jnt_qposadr[j])
-        dadr = int(c.jnt_dofadr[j])
+    # ---- dof friction loss: one static one-hot block
+    fl_ids = np.nonzero(np.asarray(c.dof_has_frictionloss))[0]
+    if len(fl_ids):
+        n = len(fl_ids)
+        onehot = np.zeros((n, nv), np.float32)
+        onehot[np.arange(n), fl_ids] = 1.0
+        blocks.append((
+            jnp.asarray(onehot, dtype),
+            jnp.zeros(n, dtype),
+            m.dof_solref[fl_ids], m.dof_solimp[fl_ids],
+            m.dof_frictionloss[fl_ids],
+            jnp.ones(n, bool),
+            np.full(n, FRICTION, np.int32),
+        ))
+
+    # ---- joint limits (vectorized over limited hinge/slide joints)
+    st = tables.scalar_joint_tables(c)
+    lim = st["lim_rows"]
+    if len(lim):
+        jids = st["jid"][lim]
+        qadr = st["qadr"][lim]
+        dadr = st["dadr"][lim]
+        n = len(jids)
         qv = d.qpos[qadr]
-        dist_lo = qv - m.jnt_range[j, 0]
-        dist_hi = m.jnt_range[j, 1] - qv
+        dist_lo = qv - m.jnt_range[jids, 0]
+        dist_hi = m.jnt_range[jids, 1] - qv
         dist = jnp.minimum(dist_lo, dist_hi)
         sign = jnp.where(dist_lo < dist_hi, 1.0, -1.0)
-        J_rows.append(jnp.zeros(nv, dtype).at[dadr].set(1.0) * sign)
-        pos_rows.append(dist - m.jnt_margin[j])
-        solref_rows.append(m.jnt_solref[j])
-        solimp_rows.append(m.jnt_solimp[j])
-        kind_rows.append(ONESIDED)
-        floss_rows.append(jnp.zeros((), dtype))
-        active_rows.append(dist < m.jnt_margin[j])
+        onehot = np.zeros((n, nv), np.float32)
+        onehot[np.arange(n), dadr] = 1.0
+        blocks.append((
+            jnp.asarray(onehot, dtype) * sign[:, None],
+            dist - m.jnt_margin[jids],
+            m.jnt_solref[jids], m.jnt_solimp[jids],
+            jnp.zeros(n, dtype),
+            dist < m.jnt_margin[jids],
+            np.full(n, ONESIDED, np.int32),
+        ))
 
-    # ---- tendon limits
-    for t in range(c.ntendon):
-        if not bool(c.tendon_limited[t]):
-            continue
-        L = d.ten_length[t]
-        dist_lo = L - m.tendon_range[t, 0]
-        dist_hi = m.tendon_range[t, 1] - L
+    # ---- tendon limits (vectorized over limited tendons)
+    lt = np.nonzero(np.asarray(c.tendon_limited))[0]
+    if len(lt):
+        L = d.ten_length[lt]
+        dist_lo = L - m.tendon_range[lt, 0]
+        dist_hi = m.tendon_range[lt, 1] - L
         dist = jnp.minimum(dist_lo, dist_hi)
         sign = jnp.where(dist_lo < dist_hi, 1.0, -1.0)
-        J_rows.append(d.ten_J[t] * sign)
-        pos_rows.append(dist - m.tendon_margin[t])
-        solref_rows.append(m.tendon_solref[t])
-        solimp_rows.append(m.tendon_solimp[t])
-        kind_rows.append(ONESIDED)
-        floss_rows.append(jnp.zeros((), dtype))
-        active_rows.append(dist < m.tendon_margin[t])
+        blocks.append((
+            d.ten_J[lt] * sign[:, None],
+            dist - m.tendon_margin[lt],
+            m.tendon_solref[lt], m.tendon_solimp[lt],
+            jnp.zeros(len(lt), dtype),
+            dist < m.tendon_margin[lt],
+            np.full(len(lt), ONESIDED, np.int32),
+        ))
 
-    n_scalar = len(J_rows)
+    n_scalar = sum(b[0].shape[0] for b in blocks)
     if n_scalar:
-        J_scalar = jnp.stack(J_rows)
-        pos_scalar = jnp.stack(pos_rows)
-        solref_scalar = jnp.stack(solref_rows)
-        solimp_scalar = jnp.stack(solimp_rows)
-        floss_scalar = jnp.stack(floss_rows)
-        active_scalar = jnp.stack(active_rows)
+        J_scalar = jnp.concatenate([b[0] for b in blocks])
+        pos_scalar = jnp.concatenate([b[1] for b in blocks])
+        solref_scalar = jnp.concatenate([b[2] for b in blocks])
+        solimp_scalar = jnp.concatenate([b[3] for b in blocks])
+        floss_scalar = jnp.concatenate([b[4] for b in blocks])
+        active_scalar = jnp.concatenate([b[5] for b in blocks])
+        kind_scalar = np.concatenate([b[6] for b in blocks])
     else:
         J_scalar = jnp.zeros((0, nv), dtype)
         pos_scalar = jnp.zeros((0,), dtype)
@@ -249,7 +271,7 @@ def make_efc(m: Model, d: Data):
         solimp_scalar = jnp.zeros((0, 5), dtype)
         floss_scalar = jnp.zeros((0,), dtype)
         active_scalar = jnp.zeros((0,), bool)
-    kind_scalar = np.asarray(kind_rows, np.int32)
+        kind_scalar = np.zeros(0, np.int32)
 
     # ---- contacts: top-k ACTIVE slot selection, then one batched facet
     # emission. The collision driver produces thousands of static slots, of
@@ -362,7 +384,10 @@ def make_efc(m: Model, d: Data):
     aref = -b_ref * Jqvel - k_ref * imp * pos
 
     # regularization R = (1-d)/d * diag(J M^-1 J^T), D = 1/R
-    MinvJT = smooth.solve_m(d, J.T)            # (nv, nefc)
+    if Minv is None:
+        MinvJT = smooth.solve_m(d, J.T)        # (nv, nefc)
+    else:
+        MinvJT = Minv @ J.T
     A_diag = jnp.maximum(jnp.einsum("iv,vi->i", J, MinvJT), 1e-12)
     R = jnp.maximum((1.0 - imp) / imp, 1e-8) * A_diag
     Dmat = jnp.where(active, 1.0 / R, 0.0)
@@ -373,9 +398,17 @@ def make_efc(m: Model, d: Data):
     )
 
 
-def solve(m: Model, d: Data, qfrc_smooth: jax.Array) -> Data:
+def solve(m: Model, d: Data, qfrc_smooth: jax.Array, Minv: jax.Array = None) -> Data:
     """Newton solve for qacc; fills qacc, qfrc_constraint, contact forces."""
-    efc = make_efc(m, d)
+    if Minv is None:
+        # explicit M^-1 (one pair of multi-rhs triangular solves), reused by
+        # the regularizer and every CG preconditioner application — replaces
+        # per-iteration cho_solves (sequential, latency-bound on TPU) with
+        # (nv, nv) matmuls
+        eye_nv = jnp.eye(m.const.nv, dtype=d.qpos.dtype)
+        Linv = jax.scipy.linalg.solve_triangular(d.qLD, eye_nv, lower=True)
+        Minv = Linv.T @ Linv
+    efc = make_efc(m, d, Minv)
     if efc is None:
         return d.replace(
             qacc=d.qacc_smooth,
@@ -417,7 +450,7 @@ def solve(m: Model, d: Data, qfrc_smooth: jax.Array) -> Data:
         return base + jnp.sum(c_quad + c_fric)
 
     if m.opt.solver == "cg":
-        return _solve_cg(m, d, efc, is_eq, is_one, is_fric)
+        return _solve_cg(m, d, efc, is_eq, is_one, is_fric, Minv)
 
     x = d.qacc_smooth
     eye = jnp.eye(nv, dtype=dtype)
@@ -483,15 +516,15 @@ def solve(m: Model, d: Data, qfrc_smooth: jax.Array) -> Data:
     )
 
 
-def _solve_cg(m: Model, d: Data, efc, is_eq, is_one, is_fric) -> Data:
+def _solve_cg(m: Model, d: Data, efc, is_eq, is_one, is_fric, Minv) -> Data:
     """Preconditioned nonlinear CG on the same primal objective.
 
     The Newton path factors a (nv, nv) Hessian per iteration — batched small
     Choleskys are the slowest primitive on TPU. CG replaces them with pure
-    (nefc, nv) matvecs: M is factored ONCE per substep as the preconditioner,
-    each iteration costs ~3 matvecs + a candidate line search that reuses
-    J@p (MuJoCo's mjSOL_CG is the same construction). Warmstarted from the
-    previous substep's qacc (mj_warmstart analogue).
+    (nefc, nv) matvecs: the explicit M^-1 (computed once per substep) is the
+    preconditioner, each iteration costs ~3 matvecs + a candidate line search
+    that reuses J@p (MuJoCo's mjSOL_CG is the same construction). Warmstarted
+    from the previous substep's qacc (mj_warmstart analogue).
     """
     J, aref, D, floss, kind = (
         efc["J"], efc["aref"], efc["D"], efc["floss"], efc["kind"]
@@ -499,19 +532,13 @@ def _solve_cg(m: Model, d: Data, efc, is_eq, is_one, is_fric) -> Data:
     dtype = d.qpos.dtype
     M = d.qM
 
-    L_M = jax.scipy.linalg.cholesky(
-        M + 1e-9 * jnp.eye(M.shape[0], dtype=dtype), lower=True
-    )
-
     def force(jar):
         quad_active = is_eq | (is_one & (jar < 0))
         f_quad = D * jar * quad_active
         f_fric = jnp.clip(D * jar, -floss, floss) * is_fric
         return f_quad + f_fric
 
-    def cost_from_jar(x, jar):
-        dx = x - d.qacc_smooth
-        base = 0.5 * dx @ (M @ dx)
+    def penalty_cost(jar):
         quad_active = is_eq | (is_one & (jar < 0))
         c_quad = 0.5 * D * jar * jar * quad_active
         absDjar = jnp.abs(D * jar)
@@ -525,7 +552,7 @@ def _solve_cg(m: Model, d: Data, efc, is_eq, is_one, is_fric) -> Data:
             )
             * is_fric
         )
-        return base + jnp.sum(c_quad + c_fric)
+        return jnp.sum(c_quad + c_fric)
 
     def grad(x, jar):
         return M @ (x - d.qacc_smooth) + J.T @ force(jar)
@@ -534,7 +561,7 @@ def _solve_cg(m: Model, d: Data, efc, is_eq, is_one, is_fric) -> Data:
     x0 = jnp.where(jnp.isfinite(d.qacc).all(), d.qacc, d.qacc_smooth)
     jar0 = J @ x0 - aref
     g0 = grad(x0, jar0)
-    Mg0 = jax.scipy.linalg.cho_solve((L_M, True), g0)
+    Mg0 = Minv @ g0
     p0 = -Mg0
 
     alphas = jnp.asarray(
@@ -544,14 +571,23 @@ def _solve_cg(m: Model, d: Data, efc, is_eq, is_one, is_fric) -> Data:
     def body(carry, _):
         x, jar, g, Mg, p = carry
         Jp = J @ p
+        # line search: the smooth term is an exact quadratic in the step
+        # size — its coefficients (c0 + 2a c1 + a^2 c2) are computed ONCE
+        # per iteration instead of an (nv,nv) matvec per candidate
+        dx0 = x - d.qacc_smooth
+        Mp = M @ p
+        c0 = dx0 @ (M @ dx0)
+        c1 = dx0 @ Mp
+        c2 = p @ Mp
         costs = jax.vmap(
-            lambda a: cost_from_jar(x + a * p, jar + a * Jp)
+            lambda a: 0.5 * (c0 + 2.0 * a * c1 + a * a * c2)
+            + penalty_cost(jar + a * Jp)
         )(alphas)
         a = alphas[jnp.argmin(costs)]
         x = x + a * p
         jar = jar + a * Jp
         g_new = grad(x, jar)
-        Mg_new = jax.scipy.linalg.cho_solve((L_M, True), g_new)
+        Mg_new = Minv @ g_new
         # Polak-Ribiere+ with automatic restart
         num = jnp.dot(g_new, Mg_new - Mg)
         den = jnp.maximum(jnp.dot(g, Mg), 1e-12)

@@ -5,15 +5,19 @@ This is the TPU-native replacement for MuJoCo's mj_fwdPosition/mj_fwdVelocity
 stages, which the reference crosses into C for on every step
 (/root/reference/robogym/mujoco/simulation_interface.py:176-207).
 
-Design notes (TPU-first):
+Design notes (TPU-first, round-2 vectorized form):
   * Functions take a single-env (Model, Data) and are `vmap`-ed over the env
     batch by the caller; everything is static-shaped and trace-once.
-  * Tree recursions (FK, velocity propagation) are unrolled Python loops over
-    bodies — nbody is ~30-60, each step is a handful of 3/4-vector ops, and
-    XLA fuses them into one kernel; with vmap these become (B, 3) ops.
-  * CRB / RNE / Jacobians avoid per-dof tree walks: with the static ancestor
-    mask `const.body_dof_mask` (nbody, nv) they become batched matmuls
-    (`M = sum_b A_b^T I_b A_b`) which land on the MXU.
+  * Tree recursions are NOT unrolled per body. Forward kinematics runs one
+    batched step per tree LEVEL (bodies at equal depth advance together);
+    every other tree quantity is a masked matmul against static ancestor
+    masks from physics/tables.py:
+      - subtree sums (com, composite inertia):   S @ x
+      - velocity accumulation:                   body_dof_mask @ (cdof*qvel)
+      - cdof rates:                              dof_ancestor_mask @ (...)
+      - CRB mass matrix:                         (cdof @ (IC cdof)^T) * mask
+    With vmap these all land on the MXU/VPU as large batched GEMMs instead
+    of hundreds of latency-bound scalar ops.
   * Spatial algebra uses Plücker coordinates ordered (angular, linear),
     matching MuJoCo's com-based cdof/cvel/cinert quantities.
 """
@@ -24,8 +28,10 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from robogym_tpu.mjcf.model import Data, JointType, Model, TrnType, WrapType
+from robogym_tpu.physics import tables
 from robogym_tpu.utils import rotation as rot
 
 
@@ -61,71 +67,86 @@ def force_cross(v: jax.Array, f: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Kinematics (mj_kinematics analogue)
+# Kinematics (mj_kinematics analogue) — one batched step per tree level
 # ---------------------------------------------------------------------------
 
 
 def kinematics(m: Model, d: Data) -> Data:
     c = m.const
-    xpos = [jnp.zeros(3, d.qpos.dtype)] * c.nbody
-    xquat = [rot.quat_identity(d.qpos.dtype)] * c.nbody
+    dtype = d.qpos.dtype
+    levels = tables.fk_levels(c)
 
-    for bid in range(1, c.nbody):
-        pid = int(c.body_parentid[bid])
-        mocapid = int(c.body_mocapid[bid])
-        if mocapid >= 0:
-            xp = d.mocap_pos[mocapid]
-            xq = rot.quat_unit(d.mocap_quat[mocapid])
-        else:
-            xq = rot.quat_mul(xquat[pid], m.body_quat[bid])
-            xp = xpos[pid] + rot.quat_rot_vec(xquat[pid], m.body_pos[bid])
-            jadr, jnum = int(c.body_jntadr[bid]), int(c.body_jntnum[bid])
-            for j in range(jadr, jadr + jnum):
-                jt = int(c.jnt_type[j])
-                qadr = int(c.jnt_qposadr[j])
+    xpos = jnp.zeros((c.nbody, 3), dtype)
+    xquat = jnp.zeros((c.nbody, 4), dtype).at[:, 0].set(1.0)
+
+    for lvl in levels:
+        bids, pids = lvl.bids, lvl.pids
+        pq = xquat[pids]
+        xq = rot.quat_mul(pq, m.body_quat[bids])
+        xp = xpos[pids] + rot.quat_rot_vec(pq, m.body_pos[bids])
+
+        for per_type in lvl.slots:
+            for jt, (rows, jids) in per_type.items():
+                sub_q = xq[rows]
+                sub_p = xp[rows]
+                qadr = c.jnt_qposadr[jids]
                 if jt == JointType.FREE:
-                    xp = d.qpos[qadr : qadr + 3]
-                    xq = rot.quat_unit(d.qpos[qadr + 3 : qadr + 7])
+                    new_p = d.qpos[qadr[:, None] + np.arange(3)]
+                    new_q = rot.quat_unit(
+                        d.qpos[qadr[:, None] + 3 + np.arange(4)]
+                    )
                 elif jt == JointType.BALL:
-                    anchor = xp + rot.quat_rot_vec(xq, m.jnt_pos[j])
-                    qloc = rot.quat_unit(d.qpos[qadr : qadr + 4])
-                    xq = rot.quat_mul(xq, qloc)
-                    xp = anchor - rot.quat_rot_vec(xq, m.jnt_pos[j])
+                    jpos = m.jnt_pos[jids]
+                    anchor = sub_p + rot.quat_rot_vec(sub_q, jpos)
+                    qloc = rot.quat_unit(d.qpos[qadr[:, None] + np.arange(4)])
+                    new_q = rot.quat_mul(sub_q, qloc)
+                    new_p = anchor - rot.quat_rot_vec(new_q, jpos)
                 elif jt == JointType.SLIDE:
-                    axis_w = rot.quat_rot_vec(xq, m.jnt_axis[j])
-                    xp = xp + axis_w * (d.qpos[qadr] - m.qpos0[qadr])
+                    axis_w = rot.quat_rot_vec(sub_q, m.jnt_axis[jids])
+                    new_p = sub_p + axis_w * (
+                        d.qpos[qadr] - m.qpos0[qadr]
+                    )[:, None]
+                    new_q = sub_q
                 else:  # HINGE
-                    anchor = xp + rot.quat_rot_vec(xq, m.jnt_pos[j])
+                    jpos = m.jnt_pos[jids]
+                    anchor = sub_p + rot.quat_rot_vec(sub_q, jpos)
                     angle = d.qpos[qadr] - m.qpos0[qadr]
-                    qloc = rot.quat_from_angle_and_axis(angle, m.jnt_axis[j])
-                    xq = rot.quat_mul(xq, qloc)
-                    xp = anchor - rot.quat_rot_vec(xq, m.jnt_pos[j])
-        xpos[bid] = xp
-        xquat[bid] = xq
+                    qloc = rot.quat_from_angle_and_axis(angle, m.jnt_axis[jids])
+                    new_q = rot.quat_mul(sub_q, qloc)
+                    new_p = anchor - rot.quat_rot_vec(new_q, jpos)
+                xq = xq.at[rows].set(new_q)
+                xp = xp.at[rows].set(new_p)
 
-    xpos_a = jnp.stack(xpos)
-    xquat_a = jnp.stack(xquat)
-    xmat = rot.quat2mat(xquat_a)
-    xipos = xpos_a + jnp.einsum("bij,bj->bi", xmat, m.body_ipos)
+        if len(lvl.mocap_rows):
+            xp = xp.at[lvl.mocap_rows].set(d.mocap_pos[lvl.mocap_ids])
+            xq = xq.at[lvl.mocap_rows].set(
+                rot.quat_unit(d.mocap_quat[lvl.mocap_ids])
+            )
+
+        xpos = xpos.at[bids].set(xp)
+        xquat = xquat.at[bids].set(xq)
+
+    xmat = rot.quat2mat(xquat)
+    xipos = xpos + jnp.einsum("bij,bj->bi", xmat, m.body_ipos)
     ximat = jnp.einsum("bij,bjk->bik", xmat, rot.quat2mat(m.body_iquat))
     geom_xmat = jnp.einsum(
         "gij,gjk->gik", xmat[c.geom_bodyid], rot.quat2mat(m.geom_quat)
     )
-    geom_xpos = xpos_a[c.geom_bodyid] + jnp.einsum(
+    geom_xpos = xpos[c.geom_bodyid] + jnp.einsum(
         "gij,gj->gi", xmat[c.geom_bodyid], m.geom_pos
     )
     if c.nsite:
         site_xmat = jnp.einsum(
             "gij,gjk->gik", xmat[c.site_bodyid], rot.quat2mat(m.site_quat)
         )
-        site_xpos = xpos_a[c.site_bodyid] + jnp.einsum(
+        site_xpos = xpos[c.site_bodyid] + jnp.einsum(
             "gij,gj->gi", xmat[c.site_bodyid], m.site_pos
         )
     else:
         site_xpos, site_xmat = d.site_xpos, d.site_xmat
 
     return d.replace(
-        xpos=xpos_a, xquat=xquat_a, xmat=xmat, xipos=xipos, ximat=ximat,
+        xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos, ximat=ximat,
         geom_xpos=geom_xpos, geom_xmat=geom_xmat,
         site_xpos=site_xpos, site_xmat=site_xmat,
     )
@@ -141,85 +162,83 @@ def _joint_anchors_axes(m: Model, d: Data) -> Tuple[jax.Array, jax.Array]:
 
 
 # ---------------------------------------------------------------------------
-# CoM-based quantities (mj_comPos analogue)
+# CoM-based quantities (mj_comPos analogue) — subtree sums as masked matmuls
 # ---------------------------------------------------------------------------
 
 
 def com_pos(m: Model, d: Data) -> Data:
     c = m.const
-    # subtree com: bottom-up mass-weighted average of xipos
-    mass = m.body_mass
-    msum = [jnp.zeros((), d.qpos.dtype)] * c.nbody
-    mpos = [jnp.zeros(3, d.qpos.dtype)] * c.nbody
-    for bid in range(c.nbody - 1, -1, -1):
-        msum[bid] = msum[bid] + mass[bid]
-        mpos[bid] = mpos[bid] + mass[bid] * d.xipos[bid]
-        pid = int(c.body_parentid[bid])
-        if bid != 0:
-            msum[pid] = msum[pid] + msum[bid]
-            mpos[pid] = mpos[pid] + mpos[bid]
-    subtree_com = jnp.stack(
-        [mp / jnp.maximum(ms, 1e-12) for mp, ms in zip(mpos, msum)]
-    )
-    # bodies with zero subtree mass: fall back to body frame origin
-    zero = jnp.stack(msum) < 1e-12
-    subtree_com = jnp.where(zero[:, None], d.xpos, subtree_com)
+    dtype = d.qpos.dtype
+    S = jnp.asarray(tables.body_subtree_mask(c), dtype)     # (nbody, nbody)
 
-    root_com = subtree_com[c.body_rootid]  # (nbody, 3)
+    mass = m.body_mass
+    msum = S @ mass                                          # (nbody,)
+    mpos = S @ (mass[:, None] * d.xipos)                     # (nbody, 3)
+    subtree_com = mpos / jnp.maximum(msum, 1e-12)[:, None]
+    subtree_com = jnp.where((msum < 1e-12)[:, None], d.xpos, subtree_com)
+
+    root_com = subtree_com[c.body_rootid]                    # (nbody, 3)
 
     # cinert: spatial inertia of each body about its root subtree com,
     # world orientation. 6x6 (ang, lin) ordering:
     #   [[ I_c + m S(c)S(c)^T , m S(c) ],
     #    [ m S(c)^T           , m 1    ]]   where c = xipos - root_com
-    I_c = jnp.einsum(
-        "bij,bj,bkj->bik", d.ximat, m.body_inertia, d.ximat
-    )
+    I_c = jnp.einsum("bij,bj,bkj->bik", d.ximat, m.body_inertia, d.ximat)
     cvec = d.xipos - root_com
-    S = _skew(cvec)
-    mS = mass[:, None, None] * S
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=d.qpos.dtype), (c.nbody, 3, 3))
-    top = jnp.concatenate([I_c + jnp.einsum("bij,bkj->bik", mS, S), mS], axis=-1)
+    Sk = _skew(cvec)
+    mS = mass[:, None, None] * Sk
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (c.nbody, 3, 3))
+    top = jnp.concatenate([I_c + jnp.einsum("bij,bkj->bik", mS, Sk), mS], axis=-1)
     bot = jnp.concatenate(
         [jnp.swapaxes(mS, -1, -2), mass[:, None, None] * eye], axis=-1
     )
-    cinert66 = jnp.concatenate([top, bot], axis=-2)  # (nbody, 6, 6)
+    cinert66 = jnp.concatenate([top, bot], axis=-2)          # (nbody, 6, 6)
 
-    # cdof (nv, 6): motion axes referenced at the root subtree com
+    # cdof (nv, 6): motion axes referenced at the root subtree com —
+    # one vectorized pass over all dofs via static per-dof class tables.
     anchors, axes = _joint_anchors_axes(m, d)
-    cdof = jnp.zeros((c.nv, 6), d.qpos.dtype)
-    rows = []
-    for j in range(c.njnt):
-        jt = int(c.jnt_type[j])
-        bid = int(c.jnt_bodyid[j])
-        rc = root_com[bid]
-        offset = rc - anchors[j]
-        if jt == JointType.FREE:
-            for k in range(3):
-                e = jnp.zeros(3, d.qpos.dtype).at[k].set(1.0)
-                rows.append(jnp.concatenate([jnp.zeros(3, d.qpos.dtype), e]))
-            for k in range(3):
-                ax = d.xmat[bid][:, k]
-                rows.append(jnp.concatenate([ax, jnp.cross(ax, offset)]))
-        elif jt == JointType.BALL:
-            for k in range(3):
-                ax = d.xmat[bid][:, k]
-                rows.append(jnp.concatenate([ax, jnp.cross(ax, offset)]))
-        elif jt == JointType.SLIDE:
-            rows.append(jnp.concatenate([jnp.zeros(3, d.qpos.dtype), axes[j]]))
-        else:  # HINGE
-            rows.append(jnp.concatenate([axes[j], jnp.cross(axes[j], offset)]))
-    if rows:
-        cdof = jnp.stack(rows)
+    dtab = tables.dof_tables(c)
+    if c.nv:
+        bidv = dtab["bid"]
+        jidv = dtab["jid"]
+        onehot = jnp.asarray(np.eye(3, dtype=np.float32)[dtab["kcol"]], dtype)
+        offset = root_com[bidv] - anchors[jidv]              # (nv, 3)
+        # column kcol of the body rotation for free/ball rotational dofs
+        ax_col = jnp.einsum("vij,vj->vi", d.xmat[bidv], onehot)
+        axes_j = axes[jidv]
+
+        is_rot = jnp.asarray(dtab["is_rot_col"])[:, None]
+        is_hinge = jnp.asarray(dtab["is_hinge"])[:, None]
+        is_slide = jnp.asarray(dtab["is_slide"])[:, None]
+        is_free_lin = jnp.asarray(dtab["is_free_lin"])[:, None]
+
+        ang = jnp.where(is_rot, ax_col, jnp.where(is_hinge, axes_j, 0.0))
+        lin_cross = jnp.cross(ang, offset)
+        lin = jnp.where(
+            is_free_lin, onehot, jnp.where(is_slide, axes_j, lin_cross)
+        )
+        cdof = jnp.concatenate([ang, lin], axis=-1)
+    else:
+        cdof = jnp.zeros((0, 6), dtype)
 
     return d.replace(subtree_com=subtree_com, cdof=cdof, cinert=cinert66)
 
 
 def crb(m: Model, d: Data) -> Data:
-    """Dense joint-space mass matrix via masked batched matmuls (MXU path)."""
+    """Dense joint-space mass matrix via composite-rigid-body inertias.
+
+    qM[i,j] (i ancestor-or-equal of j) = cdof_i^T IC[body(j)] cdof_j where
+    IC[b] = sum of cinert over subtree(b). All matmuls, no (nbody, nv, 6)
+    intermediate."""
     c = m.const
-    mask = jnp.asarray(c.body_dof_mask, d.qpos.dtype)  # (nbody, nv)
-    A = mask[:, :, None] * d.cdof[None, :, :]          # (nbody, nv, 6)
-    qM = jnp.einsum("bvi,bij,bwj->vw", A, d.cinert, A)
+    dtype = d.qpos.dtype
+    S = jnp.asarray(tables.body_subtree_mask(c), dtype)
+    IC = (S @ d.cinert.reshape(c.nbody, 36)).reshape(c.nbody, 6, 6)
+    F = jnp.einsum("vij,vj->vi", IC[tables.dof_tables(c)["bid"]], d.cdof)
+    qMu = d.cdof @ F.T                                       # (nv, nv)
+    A = jnp.asarray(tables.dof_ancestor_or_self_upper(c), dtype)
+    qMm = qMu * A
+    qM = qMm + qMm.T - jnp.diag(jnp.diag(qMm))
     qM = qM + jnp.diag(m.dof_armature)
     qLD = jax.scipy.linalg.cholesky(
         qM + jnp.eye(c.nv, dtype=qM.dtype) * 1e-12, lower=True
@@ -234,51 +253,40 @@ def solve_m(d: Data, rhs: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Velocity pass + RNE (mj_comVel / mj_rne analogue)
+# Velocity pass + RNE (mj_comVel / mj_rne analogue) — masked matmuls
 # ---------------------------------------------------------------------------
 
 
 def com_vel(m: Model, d: Data) -> Tuple[Data, jax.Array]:
     """Body com-frame velocities and cdof time-derivatives."""
     c = m.const
-    cvel = [jnp.zeros(6, d.qpos.dtype)] * c.nbody
-    cdofdot = [jnp.zeros(6, d.qpos.dtype)] * c.nv
-    for bid in range(1, c.nbody):
-        pid = int(c.body_parentid[bid])
-        cv = cvel[pid]
-        dadr, dnum = int(c.body_dofadr[bid]), int(c.body_dofnum[bid])
-        for i in range(dadr, dadr + dnum) if dadr >= 0 else []:
-            cdofdot[i] = motion_cross(cv, d.cdof[i])
-            cv = cv + d.cdof[i] * d.qvel[i]
-        cvel[bid] = cv
-    cvel_a = jnp.stack(cvel)
-    cdofdot_a = jnp.stack(cdofdot) if c.nv else jnp.zeros((0, 6), d.qpos.dtype)
-    return d.replace(cvel=cvel_a), cdofdot_a
+    dtype = d.qpos.dtype
+    if c.nv == 0:
+        return d.replace(cvel=jnp.zeros((c.nbody, 6), dtype)), jnp.zeros(
+            (0, 6), dtype
+        )
+    vterm = d.cdof * d.qvel[:, None]                         # (nv, 6)
+    mask = jnp.asarray(c.body_dof_mask, dtype)               # (nbody, nv)
+    cvel = mask @ vterm                                      # (nbody, 6)
+    # velocity "seen" by dof i = contributions of its strict ancestor dofs
+    D = jnp.asarray(tables.dof_ancestor_mask(c), dtype)      # (nv, nv)
+    vpred = D @ vterm                                        # (nv, 6)
+    cdofdot = motion_cross(vpred, d.cdof)
+    return d.replace(cvel=cvel), cdofdot
 
 
 def rne(m: Model, d: Data, cdofdot: jax.Array) -> Data:
     """qfrc_bias = C(qpos, qvel): RNE with qacc = 0, gravity at the root."""
     c = m.const
     dtype = d.qpos.dtype
-    # forward: bias accelerations
     grav = jnp.concatenate([jnp.zeros(3, dtype), -m.opt.gravity])
-    cacc = [jnp.zeros(6, dtype)] * c.nbody
-    cacc[0] = grav
-    for bid in range(1, c.nbody):
-        pid = int(c.body_parentid[bid])
-        a = cacc[pid]
-        dadr, dnum = int(c.body_dofadr[bid]), int(c.body_dofnum[bid])
-        for i in range(dadr, dadr + dnum) if dadr >= 0 else []:
-            a = a + cdofdot[i] * d.qvel[i]
-        cacc[bid] = a
-    cacc_a = jnp.stack(cacc)
+    mask = jnp.asarray(c.body_dof_mask, dtype)               # (nbody, nv)
+    cacc = grav[None, :] + mask @ (cdofdot * d.qvel[:, None])
     # body forces: f = I a + v x* (I v)
     Iv = jnp.einsum("bij,bj->bi", d.cinert, d.cvel)
-    f = jnp.einsum("bij,bj->bi", d.cinert, cacc_a) + force_cross(d.cvel, Iv)
+    f = jnp.einsum("bij,bj->bi", d.cinert, cacc) + force_cross(d.cvel, Iv)
     # qfrc_bias[i] = cdof_i . sum_{b in subtree(body(i))} f_b
-    #             = sum_b mask[b, i] * (cdof_i . f_b)
-    mask = jnp.asarray(c.body_dof_mask, dtype)  # (nbody, nv)
-    dots = jnp.einsum("vi,bi->bv", d.cdof, f)   # (nbody, nv)
+    dots = jnp.einsum("vi,bi->bv", d.cdof, f)                # (nbody, nv)
     qfrc_bias = jnp.sum(mask * dots, axis=0)
     return d.replace(qfrc_bias=qfrc_bias)
 
@@ -327,30 +335,25 @@ def tendon(m: Model, d: Data) -> Data:
     if c.ntendon == 0:
         return d
     dtype = d.qpos.dtype
-    lengths = []
-    jacs = []
-    for t in range(c.ntendon):
+    tt = tables.tendon_tables(c)
+
+    ten_length = jnp.zeros(c.ntendon, dtype)
+    ten_J = jnp.zeros((c.ntendon, c.nv), dtype)
+
+    # fixed tendons: L_t = sum_w coef_w * qpos[qadr_w] — one scatter-add
+    if len(tt["w_t"]):
+        coef = m.wrap_prm[tt["w_i"]]
+        ten_length = ten_length.at[tt["w_t"]].add(coef * d.qpos[tt["w_q"]])
+        ten_J = ten_J.at[tt["w_t"], tt["w_d"]].add(coef)
+
+    # spatial tendons (site paths with sphere wraps): per-tendon host loop —
+    # none exist in the shipped robogym assets' hot envs, small count
+    for t in tt["spatial"]:
         adr, num = int(c.tendon_adr[t]), int(c.tendon_num[t])
-        wtypes = c.wrap_type[adr : adr + num]
-        if all(wt == WrapType.JOINT for wt in wtypes):
-            # fixed tendon: L = sum coef_i * qpos_i
-            L = jnp.zeros((), dtype)
-            J = jnp.zeros(c.nv, dtype)
-            for w in range(adr, adr + num):
-                jid = int(c.wrap_objid[w])
-                qadr = int(c.jnt_qposadr[jid])
-                dadr = int(c.jnt_dofadr[jid])
-                coef = m.wrap_prm[w]
-                L = L + coef * d.qpos[qadr]
-                J = J.at[dadr].add(coef)
-            lengths.append(L)
-            jacs.append(J)
-        else:
-            L, J = _spatial_tendon(m, d, adr, num)
-            lengths.append(L)
-            jacs.append(J)
-    ten_length = jnp.stack(lengths)
-    ten_J = jnp.stack(jacs)
+        L, J = _spatial_tendon(m, d, adr, num)
+        ten_length = ten_length.at[t].set(L)
+        ten_J = ten_J.at[t].set(J)
+
     ten_velocity = ten_J @ d.qvel
     return d.replace(ten_length=ten_length, ten_J=ten_J, ten_velocity=ten_velocity)
 
@@ -360,10 +363,6 @@ def _spatial_tendon(m: Model, d: Data, adr: int, num: int):
     sphere-wrap geoms in between (MuJoCo mju_wrap semantics, sphere only)."""
     c = m.const
     dtype = d.qpos.dtype
-    # collect path points: sites are fixed points; sphere wraps contribute
-    # two tangent points (or none when not wrapping)
-    pts = []      # (point, bodyid) — in path order; wrap contributes 2
-    segments_active = []  # weight of the inner (arc) segment handled separately
     i = adr
     entries = []
     while i < adr + num:
@@ -372,14 +371,11 @@ def _spatial_tendon(m: Model, d: Data, adr: int, num: int):
         if wt == WrapType.SITE:
             entries.append(("site", oid, None))
         elif wt == WrapType.SPHERE:
-            # sidesite stored? use geom
             entries.append(("sphere", oid, None))
         elif wt == WrapType.PULLEY:
             entries.append(("pulley", -1, float(m.wrap_prm[i])))
         i += 1
 
-    # Build the polyline: for each sphere between two endpoints compute
-    # tangent points; arc length added analytically.
     L = jnp.zeros((), dtype)
     J = jnp.zeros(c.nv, dtype)
     divisor = 1.0
@@ -505,7 +501,7 @@ def _sphere_wrap(p0, p1, center, r):
 
 
 # ---------------------------------------------------------------------------
-# Transmission (mj_transmission analogue)
+# Transmission (mj_transmission analogue) — static scatter tables
 # ---------------------------------------------------------------------------
 
 
@@ -515,47 +511,41 @@ def transmission(m: Model, d: Data) -> Tuple[Data, jax.Array]:
     dtype = d.qpos.dtype
     if c.nu == 0:
         return d, jnp.zeros((0, c.nv), dtype)
-    lengths = []
-    moments = []
-    for u in range(c.nu):
-        tt = int(c.actuator_trntype[u])
-        tid = int(c.actuator_trnid[u])
-        gear = m.actuator_gear[u, 0]
-        if tt == TrnType.JOINT:
-            qadr = int(c.jnt_qposadr[tid])
-            dadr = int(c.jnt_dofadr[tid])
-            lengths.append(gear * d.qpos[qadr])
-            moments.append(jnp.zeros(c.nv, dtype).at[dadr].set(gear))
-        else:  # TENDON
-            lengths.append(gear * d.ten_length[tid])
-            moments.append(gear * d.ten_J[tid])
-    moment = jnp.stack(moments)
+    tr = tables.transmission_tables(c)
+    gear = m.actuator_gear[:, 0]
+    lengths = jnp.zeros(c.nu, dtype)
+    moment = jnp.zeros((c.nu, c.nv), dtype)
+    if len(tr["uj"]):
+        gj = gear[tr["uj"]]
+        lengths = lengths.at[tr["uj"]].set(gj * d.qpos[tr["uj_q"]])
+        moment = moment.at[tr["uj"]].set(
+            gj[:, None] * jnp.asarray(tr["onehot"], dtype)
+        )
+    if len(tr["ut"]):
+        gt = gear[tr["ut"]]
+        lengths = lengths.at[tr["ut"]].set(gt * d.ten_length[tr["ut_t"]])
+        moment = moment.at[tr["ut"]].set(gt[:, None] * d.ten_J[tr["ut_t"]])
     d = d.replace(
-        actuator_length=jnp.stack(lengths),
+        actuator_length=lengths,
         actuator_velocity=moment @ d.qvel,
     )
     return d, moment
 
 
 # ---------------------------------------------------------------------------
-# Passive forces (mj_passive analogue)
+# Passive forces (mj_passive analogue) — vectorized joint springs
 # ---------------------------------------------------------------------------
 
 
 def passive(m: Model, d: Data) -> Data:
     c = m.const
-    dtype = d.qpos.dtype
     qfrc = -m.dof_damping * d.qvel
-    # joint springs
-    for j in range(c.njnt):
-        jt = int(c.jnt_type[j])
-        qadr = int(c.jnt_qposadr[j])
-        dadr = int(c.jnt_dofadr[j])
-        if jt in (JointType.HINGE, JointType.SLIDE):
-            qfrc = qfrc.at[dadr].add(
-                -m.jnt_stiffness[j] * (d.qpos[qadr] - m.jnt_springref[j])
-            )
-        # ball/free springs not used by the reference assets
+    st = tables.scalar_joint_tables(c)
+    if len(st["jid"]):
+        jids, qadr, dadr = st["jid"], st["qadr"], st["dadr"]
+        f = -m.jnt_stiffness[jids] * (d.qpos[qadr] - m.jnt_springref[jids])
+        qfrc = qfrc.at[dadr].add(f)
+    # ball/free springs not used by the reference assets
     # tendon springs + damping
     if c.ntendon:
         spring_active = m.tendon_lengthspring >= 0

@@ -20,6 +20,7 @@ from robogym_tpu.mjcf.model import Data, JointType, Model
 from robogym_tpu.physics import actuation as actuation_lib
 from robogym_tpu.physics import constraint as constraint_lib
 from robogym_tpu.physics import smooth
+from robogym_tpu.physics import tables
 from robogym_tpu.physics.collision import driver as collision_driver
 from robogym_tpu.utils import rotation as rot
 
@@ -50,9 +51,15 @@ def forward(m: Model, d: Data) -> Data:
         d.qfrc_passive + d.qfrc_actuator + d.qfrc_applied - d.qfrc_bias
         + _xfrc_to_qfrc(m, d)
     )
-    qacc_smooth = smooth.solve_m(d, qfrc_smooth)
+    # explicit M^-1 computed once per substep; reused for qacc_smooth, the
+    # constraint regularizer, and the CG preconditioner (matmuls instead of
+    # repeated batched triangular solves)
+    eye_nv = jnp.eye(m.const.nv, dtype=d.qpos.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(d.qLD, eye_nv, lower=True)
+    Minv = Linv.T @ Linv
+    qacc_smooth = Minv @ qfrc_smooth
     d = d.replace(qacc_smooth=qacc_smooth)
-    d = constraint_lib.solve(m, d, qfrc_smooth)
+    d = constraint_lib.solve(m, d, qfrc_smooth, Minv)
     return d
 
 
@@ -78,24 +85,40 @@ def _xfrc_to_qfrc(m: Model, d: Data) -> jax.Array:
 
 
 def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
-    """qpos += qvel * dt with quaternion handling (mj_integratePos)."""
+    """qpos += qvel * dt with quaternion handling (mj_integratePos).
+
+    Scalar (hinge/slide) dofs advance in one vectorized scatter; the few
+    quaternion joints (free/ball) are batched by static index tables."""
     c = m.const
+    st = tables.scalar_joint_tables(c)
     out = qpos
-    for j in range(c.njnt):
-        jt = int(c.jnt_type[j])
-        qadr = int(c.jnt_qposadr[j])
-        dadr = int(c.jnt_dofadr[j])
-        if jt == JointType.FREE:
-            out = out.at[qadr : qadr + 3].add(qvel[dadr : dadr + 3] * dt)
-            q = rot.quat_integrate(
-                qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
+    if len(st["qadr"]):
+        out = out.at[st["qadr"]].add(qvel[st["dadr"]] * dt)
+    quat_joints = st["quat"]
+    if quat_joints:
+        import numpy as np
+
+        free = [(q, dd) for jt, q, dd in quat_joints if jt == JointType.FREE]
+        ball = [(q, dd) for jt, q, dd in quat_joints if jt == JointType.BALL]
+        if free:
+            qadr = np.asarray([q for q, _ in free], np.int32)
+            dadr = np.asarray([dd for _, dd in free], np.int32)
+            out = out.at[qadr[:, None] + np.arange(3)].add(
+                qvel[dadr[:, None] + np.arange(3)] * dt
             )
-            out = out.at[qadr + 3 : qadr + 7].set(q)
-        elif jt == JointType.BALL:
-            q = rot.quat_integrate(qpos[qadr : qadr + 4], qvel[dadr : dadr + 3], dt)
-            out = out.at[qadr : qadr + 4].set(q)
-        else:
-            out = out.at[qadr].add(qvel[dadr] * dt)
+            q_old = qpos[qadr[:, None] + 3 + np.arange(4)]
+            w = qvel[dadr[:, None] + 3 + np.arange(3)]
+            out = out.at[qadr[:, None] + 3 + np.arange(4)].set(
+                rot.quat_integrate(q_old, w, dt)
+            )
+        if ball:
+            qadr = np.asarray([q for q, _ in ball], np.int32)
+            dadr = np.asarray([dd for _, dd in ball], np.int32)
+            q_old = qpos[qadr[:, None] + np.arange(4)]
+            w = qvel[dadr[:, None] + np.arange(3)]
+            out = out.at[qadr[:, None] + np.arange(4)].set(
+                rot.quat_integrate(q_old, w, dt)
+            )
     return out
 
 
