@@ -35,6 +35,14 @@ def build_env(name: str):
             dict(), dict(simulation_params=dict(num_objects=5)),
             dtype=jnp.float32,
         )
+    if name == "ycb":
+        from robogym_tpu.envs.rearrange.mesh import make_env
+
+        return make_env(
+            dict(), dict(simulation_params=dict(num_objects=3,
+                                                max_num_objects=3)),
+            dtype=jnp.float32,
+        )
     from robogym_tpu.envs.dactyl.locked import make_env
 
     env = make_env(dtype=jnp.float32)

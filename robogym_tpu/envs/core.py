@@ -172,6 +172,32 @@ def tracker_process(
     return tracker, success_reward, done, need_new_goal
 
 
+def divergence_guard(
+    d_prev: Data, d: Data, qvel_limit: float = 1e6
+) -> Tuple[Data, jax.Array]:
+    """Failure-detection channel: NaN / divergence -> `env_crash`.
+
+    The reference surfaces MuJoCo C warnings/errors as `env_crash` info flags
+    and aborts the episode (/root/reference/robogym/mujoco/warning_buffer.py:
+    15-83, robot_env.py:826-869, multi_goal_tracker.py:12-21). The TPU
+    analogue: detect non-finite or exploding state after the physics step;
+    a crashed env keeps its PRE-STEP physics (so observations stay finite
+    for the rest of the batch's lockstep) and reports crashed=True — the
+    caller sets done and `info["env_crash"]`.
+    """
+    bad = ~(
+        jnp.isfinite(d.qpos).all()
+        & jnp.isfinite(d.qvel).all()
+        & (jnp.max(jnp.abs(d.qvel), initial=0.0) < qvel_limit)
+    )
+
+    def pick(a, b):
+        return jnp.where(bad, a, b)
+
+    safe = jax.tree_util.tree_map(pick, d_prev, d)
+    return safe, bad
+
+
 def goal_distance_sum(dist: Dict[str, jax.Array]) -> jax.Array:
     """sum over threshold keys (robot_env.py:550-559)."""
     total = 0.0

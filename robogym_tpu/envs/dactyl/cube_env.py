@@ -147,6 +147,39 @@ def is_on_palm(idx: CubeIndex, d: Data) -> jax.Array:
     return d.site_xpos[idx.cube_center_site, 2] > 0.04
 
 
+def up_axis_with_sign(cube_quat: jax.Array):
+    """Cube-frame axis (index + sign) closest to world up
+    (reference cube_utils.py:157-165)."""
+    mtx = rot.quat2mat(cube_quat)
+    z_dots = mtx[2, :]                       # z_up . column_i
+    axis_nr = jnp.argmax(jnp.abs(z_dots))
+    sign = jnp.sign(z_dots[axis_nr])
+    sign = jnp.where(sign == 0, 1.0, sign)
+    return axis_nr, sign
+
+
+def align_quat_up(cube_quat: jax.Array) -> jax.Array:
+    """Rotate quat so the nearest-up face is exactly up
+    (reference cube_utils.py:138-154)."""
+    axis_nr, sign = up_axis_with_sign(cube_quat)
+    mtx = rot.quat2mat(cube_quat)
+    axis = jnp.take(mtx, axis_nr, axis=1) * sign
+    z_up = jnp.asarray([0.0, 0.0, 1.0], cube_quat.dtype)
+    dq = rot.vectors2quat(axis, z_up)
+    return rot.quat_normalize(rot.quat_mul(dq, cube_quat))
+
+
+def distance_quat_from_being_up(
+    cube_quat: jax.Array, axis_nr: jax.Array, sign: jax.Array
+) -> jax.Array:
+    """Residual quat from having the given cube axis point up
+    (reference cube_utils.py:168-181)."""
+    mtx = rot.quat2mat(cube_quat)
+    axis = jnp.take(mtx, axis_nr, axis=1) * sign
+    z_up = jnp.asarray([0.0, 0.0, 1.0], cube_quat.dtype)
+    return rot.quat_normalize(rot.vectors2quat(axis, z_up))
+
+
 def uniform_z_aligned_quat(key: jax.Array, dtype) -> jax.Array:
     """Random rotation about z (cube_utils.py:26-31)."""
     angle = jax.random.uniform(key, (), dtype, minval=-np.pi, maxval=np.pi)

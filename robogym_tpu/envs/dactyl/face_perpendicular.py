@@ -303,6 +303,7 @@ class FacePerpendicularEnv(cube_env.CubeEnvBase):
         )
         d = d.replace(ctrl=ctrl)
         d = physics.step_n(m, d, cst.mujoco_substeps)
+        d, crashed = core.divergence_guard(state.physics, d)
 
         dist = self._goal_distance(state.goal, d)
         goal_distance_reward = core.goal_distance_sum(
@@ -350,7 +351,9 @@ class FacePerpendicularEnv(cube_env.CubeEnvBase):
             env_reward, goal_distance_reward.astype(self.dtype),
             success_reward.astype(self.dtype),
         ])
+        done = done | crashed
         info = {
+            "env_crash": crashed,
             "successes_so_far": tracker.successes_so_far,
             "trial_success": tracker.trial_success,
             "is_successful": successful,

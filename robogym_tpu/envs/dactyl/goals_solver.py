@@ -64,13 +64,16 @@ def solve_plan_host(idx: manip.CubeletIndex, qpos: np.ndarray):
     kociemba call between goals (utils/rubik_utils.py:5-31); the remote-TPU
     backend here does not support jax host callbacks, so the solve is a
     plain device->host->device hop once per reset."""
-    from robogym_tpu.utils.rotation import _np_euler2mat
+    from robogym_tpu.utils import rotation as rot
 
     # soft-align first (mid-episode cubelets can be far from straight;
     # reference to_pycuber does the same, cube_manipulator.py:296-300)
     qpos = np.asarray(manip.soft_align_faces(idx, jnp.asarray(qpos)))
     eulers = qpos[idx.euler_qpos]
-    mats = np.stack([_np_euler2mat(e) for e in eulers])
+    # decode with the SAME euler convention the manipulator encodes with
+    # (rot.euler2mat/mat2euler); the numpy helper _np_euler2mat uses a
+    # different composition order and silently produced illegal cube states
+    mats = np.asarray(jax.vmap(rot.euler2mat)(jnp.asarray(eulers)))
     mats = np.round(mats)  # snap to signed permutations
     return _solve_host(mats, idx.coords)
 

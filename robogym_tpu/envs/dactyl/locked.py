@@ -43,6 +43,11 @@ class LockedEnvConstants(cube_env.DactylCubeEnvConstants):
 
     success_threshold_cube_quat: float = 0.4
     goal_generation: str = "state"
+    # vision pathway: "" (off) or "dummy_vision" — the reference's default
+    # vision provider for locked configs (cube_env.py:295-306,
+    # observation/dummy_vision.py:11-53)
+    vision_observation_provider: str = ""
+    vision_image_size: int = 200
 
 
 class LockedEnv(cube_env.CubeEnvBase):
@@ -56,6 +61,20 @@ class LockedEnv(cube_env.CubeEnvBase):
         dtype=jnp.float32,
     ):
         super().__init__(constants or LockedEnvConstants(), dtype=dtype)
+        self.obs_stack = None
+        if self.constants.vision_observation_provider == "dummy_vision":
+            from robogym_tpu.observation import common as obs_common
+            from robogym_tpu.observation import dummy_vision
+
+            self.obs_stack = obs_common.ObservationStack({
+                "dummy_vision": dummy_vision.make_dummy_vision_provider(
+                    image_size=self.constants.vision_image_size
+                ),
+                "goal_dummy_vision":
+                    dummy_vision.make_dummy_goal_vision_provider(
+                        image_size=self.constants.vision_image_size
+                    ),
+            })
 
     # ------------------------------------------------------------------
     # goal generation (LockedParallelGoal)
@@ -86,15 +105,22 @@ class LockedEnv(cube_env.CubeEnvBase):
                 k_pause, self.constants
             )
         )
+        goal_aux = jnp.zeros((), self.dtype)
         state = core.EnvState(
             physics=d,
             goal=goal,
-            goal_aux=jnp.zeros((), self.dtype),
+            goal_aux=goal_aux,
             prev_goal_distance=self._goal_distance(goal, d),
             tracker=tracker,
             key=k_state,
             t=jnp.zeros((), jnp.int32),
         )
+        if self.obs_stack is not None:
+            # RESET cadence: every provider runs; the cache rides in state
+            from robogym_tpu.observation.common import SyncType
+
+            cache = self.obs_stack.sync(self, state, None, SyncType.RESET)
+            state = state.replace(goal_aux=(goal_aux, cache))
         return state, self._observe(state)
 
     def step(
@@ -112,6 +138,7 @@ class LockedEnv(cube_env.CubeEnvBase):
         )
         d = d.replace(ctrl=ctrl)
         d = physics.step_n(m, d, cst.mujoco_substeps)
+        d, crashed = core.divergence_guard(state.physics, d)
 
         dist = self._goal_distance(state.goal, d)
         goal_distance_reward = core.goal_distance_sum(
@@ -154,10 +181,27 @@ class LockedEnv(cube_env.CubeEnvBase):
             None,
         )
 
+        goal_aux = state.goal_aux
+        if self.obs_stack is not None:
+            # RESET_GOAL-cadence provider data refreshes only when the goal
+            # resamples; otherwise the cached value carries forward
+            # (reference SyncType staging, observation/common.py:8-33)
+            from robogym_tpu.observation.common import SyncType
+
+            inner_aux, cache = goal_aux
+            cache = jax.lax.cond(
+                need_new_goal,
+                lambda c: self.obs_stack.sync(
+                    self, state, c, SyncType.RESET_GOAL
+                ),
+                lambda c: {k: v for k, v in c.items()},
+                cache,
+            )
+            goal_aux = (inner_aux, cache)
         new_state = core.EnvState(
             physics=d,
             goal=goal,
-            goal_aux=state.goal_aux,
+            goal_aux=goal_aux,
             prev_goal_distance=dist_after,
             tracker=tracker,
             key=key,
@@ -168,12 +212,14 @@ class LockedEnv(cube_env.CubeEnvBase):
              goal_distance_reward.astype(self.dtype),
              success_reward.astype(self.dtype)]
         )
+        done = done | crashed
         info = {
             "successes_so_far": tracker.successes_so_far,
             "trial_success": tracker.trial_success,
             "steps_since_last_goal": tracker.steps_since_last_goal,
             "goal_dist": dist["cube_quat"],
             "is_successful": successful,
+            "env_crash": crashed,
         }
         return new_state, self._observe(new_state), reward, done, info
 
@@ -185,7 +231,7 @@ class LockedEnv(cube_env.CubeEnvBase):
             tips = cube_env.relative_fingertip_positions(self.hand, self.model, d)
         else:
             tips = hand.fingertip_positions(self.hand, d)
-        return {
+        obs = {
             "cube_pos": cube_env.cube_pos(self.cube, d),
             "cube_quat": cube_env.cube_quat(self.cube, d),
             "qpos": d.qpos,
@@ -198,6 +244,19 @@ class LockedEnv(cube_env.CubeEnvBase):
                 None
             ].astype(self.dtype),
         }
+        if self.obs_stack is not None and isinstance(state.goal_aux, tuple):
+            from robogym_tpu.observation.common import SyncType
+
+            _, cache = state.goal_aux
+            # STEP-cadence providers refresh at observe time; RESET/RESET_
+            # GOAL values come from the staged cache (robot_env.py:273-301)
+            for name, p in self.obs_stack.providers.items():
+                data = (
+                    p.read(self, state) if p.sync_type == SyncType.STEP
+                    else cache[name]
+                )
+                obs.update(data)
+        return obs
 
 
 def make_env(

@@ -183,6 +183,7 @@ class ReachEnv:
         )
         d = d.replace(ctrl=ctrl)
         d = physics.step_n(m, d, cst.mujoco_substeps)
+        d, crashed = core.divergence_guard(state.physics, d)
 
         dist = self._goal_distance(state.goal, d)
         goal_distance_reward = core.goal_distance_sum(
@@ -234,7 +235,9 @@ class ReachEnv:
              goal_distance_reward.astype(self.dtype),
              success_reward.astype(self.dtype)]
         )
+        done = done | crashed
         info = {
+            "env_crash": crashed,
             "successes_so_far": tracker.successes_so_far,
             "trial_success": tracker.trial_success,
             "steps_since_last_goal": tracker.steps_since_last_goal,

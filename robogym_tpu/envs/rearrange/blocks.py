@@ -49,8 +49,12 @@ class RearrangeEnvConstants(core.EnvConstants):
     successes_needed: int = 1
     goal_reward_per_object: float = 1.0
     success_pause_range_s: Tuple[float, float] = (0.0, 0.5)
-    # goal generation: state | reach | stack | pickandplace
+    # goal generation: state | train | reach | det-reach | stack | pickandplace
     goal_generation: str = "state"
+    # stack goal order (reference blocks_stack.py BlockStackEnvConstants)
+    stack_fixed_order: bool = False
+    # GoalArgs fields forwarded to the generator (common/base.py goal_args)
+    goal_args: Tuple[Tuple[str, object], ...] = ()
     stabilize_objects: bool = True
     stabilize_steps: int = 5   # reference: 100 zero-ctrl settle steps
 
@@ -77,10 +81,8 @@ class RearrangeEnvParameters:
     )
     robot_control_params: composite_lib.RobotControlParameters = (
         dataclasses.field(
-            default_factory=lambda: composite_lib.RobotControlParameters(
-                control_mode=composite_lib.ControlMode.JOINT,
-                tcp_solver_mode=composite_lib.TcpSolverMode.MOCAP,
-            )
+            # reference default: tcp+roll+yaw control via mocap_ik dual-sim
+            default_factory=composite_lib.RobotControlParameters
         )
     )
     n_random_initial_steps: int = 10
@@ -91,7 +93,9 @@ class BlocksRearrangeEnv:
 
     GOAL_CLASSES = {
         "state": goals_lib.ObjectStateGoal,
+        "train": goals_lib.TrainStateGoal,
         "reach": goals_lib.ObjectReachGoal,
+        "det-reach": goals_lib.DeterministicReachGoal,
         "stack": goals_lib.ObjectStackGoal,
         "pickandplace": goals_lib.PickAndPlaceGoal,
     }
@@ -108,14 +112,34 @@ class BlocksRearrangeEnv:
         sp = self.parameters.simulation_params
         rcp = self.parameters.robot_control_params
 
-        model, idx = sim_lib.compile_blocks_world(
-            sp.max_num_objects, sp.object_size, rcp,
-            self.constants.mujoco_timestep, dtype=dtype,
-        )
+        model, idx = self._compile_world(sp, rcp)
         self.model = model
         self.idx = idx
         self.robot = composite_lib.CompositeIndex.build(model, rcp)
         self.action_size = self.robot.action_size
+
+        # mocap_ik: second (solver) sim — joint-actuated main arm driven by
+        # the mocap-weld solver arm's joint response, both inside one jitted
+        # step (reference dual-sim: joint_controlled_tcp_arm.py:12-129)
+        self._mocap_ik = rcp.requires_solver_sim()
+        if self._mocap_ik:
+            self.solver_model = sim_lib.compile_solver_world(
+                rcp, self.constants.mujoco_timestep, dtype=dtype
+            )
+            self.solver_robot = composite_lib.CompositeIndex.build(
+                self.solver_model, dataclasses.replace(
+                    rcp, tcp_solver_mode=composite_lib.TcpSolverMode.MOCAP
+                )
+            )
+            sd = make_data(self.solver_model, dtype=dtype)
+            sd = sd.replace(qpos=sd.qpos.at[
+                jnp.asarray(self.solver_robot.arm.joint_qpos_ids)
+            ].set(jnp.asarray(arm_lib.TABLETOP_EXPERIMENT_INITIAL_POS, dtype)))
+            sd = physics.fwd_position(self.solver_model, sd)
+            sd = tcp_solver.reset_mocap_to_body(
+                sd, self.solver_robot.arm.tcp_body_id
+            )
+            self._initial_solver_data = sd
 
         # per-goal timeout scales with object count (common/base.py:425-427)
         self.constants = dataclasses.replace(
@@ -126,16 +150,25 @@ class BlocksRearrangeEnv:
         )
 
         goal_cls = self.GOAL_CLASSES[self.constants.goal_generation]
-        if self.constants.goal_generation == "reach":
-            self.goal_gen = goal_cls(
-                idx, self.robot.arm, goals_lib.GoalArgs(), dtype=dtype,
-                used_table_portion=sp.used_table_portion,
+        gargs = goals_lib.GoalArgs(**dict(self.constants.goal_args))
+        goal_kw = dict(dtype=dtype, used_table_portion=sp.used_table_portion)
+        if gargs.rot_dist_type == "icp":
+            # box corner clouds for the icp rot-dist mode
+            half = np.asarray(self._object_half_sizes_np())     # (O, 3)
+            signs = np.array(
+                [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                 for sz in (-1, 1)], np.float32,
             )
+            goal_kw["icp_verts"] = half[:, None, :] * signs[None, :, :]
+        gen = self.constants.goal_generation
+        if gen == "stack":
+            goal_kw["fixed_order"] = self.constants.stack_fixed_order
+        if gen == "train":
+            goal_kw["goal_distance_ratio"] = sp.goal_distance_ratio
+        if gen in ("reach", "det-reach"):
+            self.goal_gen = goal_cls(idx, self.robot.arm, gargs, **goal_kw)
         else:
-            self.goal_gen = goal_cls(
-                idx, goals_lib.GoalArgs(), dtype=dtype,
-                used_table_portion=sp.used_table_portion,
-            )
+            self.goal_gen = goal_cls(idx, gargs, **goal_kw)
 
         # settled initial data: arm to tabletop pose, objects parked
         d0 = make_data(model, dtype=dtype)
@@ -150,15 +183,16 @@ class BlocksRearrangeEnv:
         quat0 = jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype),
                          (sp.max_num_objects, 1))
         d0 = sim_lib.set_object_poses(idx, d0, pos0, quat0)
-        if rcp.is_tcp_controlled():
+        if rcp.is_tcp_controlled() and not self._mocap_ik:
             # align the mocap weld target to the gripper before settling
             d0 = tcp_solver.reset_mocap_to_body(
                 physics.fwd_position(model, d0), self.robot.arm.tcp_body_id
             )
         else:
-            # hold arm at initial pose while settling
+            # hold arm at initial pose while settling (zero relative joint
+            # action regardless of the runtime control mode's action dims)
             d0 = d0.replace(ctrl=composite_lib.set_position_control_joint(
-                self.robot, model, d0, jnp.zeros(self.action_size, dtype),
+                self.robot, model, d0, jnp.zeros(7, dtype),
                 relative_action=True,
             ))
         settle = jax.jit(lambda d: physics.step_n(
@@ -167,6 +201,14 @@ class BlocksRearrangeEnv:
         self._initial_data = d0.replace(time=jnp.zeros_like(d0.time))
 
     # ------------------------------------------------------------------
+    def _compile_world(self, sp, rcp):
+        """Subclass hook: compile the world Model + index (mesh envs build
+        mesh-object slots here instead of blocks)."""
+        return sim_lib.compile_blocks_world(
+            sp.max_num_objects, sp.object_size, rcp,
+            self.constants.mujoco_timestep, dtype=self.dtype,
+        )
+
     @property
     def num_objects(self) -> int:
         return self.parameters.simulation_params.num_objects
@@ -179,7 +221,12 @@ class BlocksRearrangeEnv:
         return jnp.arange(self.max_num_objects) < self.num_objects
 
     def _object_half_sizes(self) -> jax.Array:
-        return self.model.geom_size[jnp.asarray(self.idx.object_geom_ids)]
+        return sim_lib.geom_bbox_half(self.model, self.idx.object_geom_ids)
+
+    def _object_half_sizes_np(self) -> np.ndarray:
+        return np.asarray(
+            jax.device_get(self.model.geom_size)
+        )[np.asarray(self.idx.object_geom_ids)]
 
     @property
     def _thresholds(self) -> Dict[str, float]:
@@ -197,14 +244,65 @@ class BlocksRearrangeEnv:
         return ok.sum() * self.constants.goal_reward_per_object
 
     # ------------------------------------------------------------------
+    def _sample_object_groups(self, key: jax.Array):
+        """Per-episode object-group partition + colors as data
+        (common/base.py:498-601 _randomize_object_groups over
+        common/utils.py:45-71 sample_group_counts: group sizes follow
+        exponential decay with lam ~ U[1, 8); every object in a group gets
+        the group's color). Returns (group_ids (O,), colors (O, 4))."""
+        O = self.max_num_objects
+        k_lam, k_cat, k_col = jax.random.split(key, 3)
+        lam = jax.random.uniform(k_lam, (), self.dtype, 1.0, 8.0)
+        sizes = jnp.arange(1, O + 1, dtype=self.dtype)
+        cat_keys = jax.random.split(k_cat, O)
+
+        def body(carry, k):
+            gid, left, remaining = carry
+            start_new = left == 0
+            logits = -sizes * lam
+            # keep >=1 finite entry: with no slots remaining the draw is
+            # unused, but an all -inf categorical is undefined
+            logits = jnp.where(
+                jnp.arange(1, O + 1) <= jnp.maximum(remaining, 1),
+                logits, -jnp.inf,
+            )
+            s = 1 + jax.random.categorical(k, logits)
+            gid = jnp.where(start_new, gid + 1, gid)
+            left = jnp.where(start_new, s, left)
+            remaining = jnp.where(start_new, remaining - s, remaining)
+            return (gid, left - 1, remaining), gid
+
+        (_, _, _), group_ids = jax.lax.scan(
+            body,
+            (jnp.asarray(-1), jnp.asarray(0), jnp.asarray(self.num_objects)),
+            cat_keys,
+        )
+        group_colors = jax.random.uniform(k_col, (O, 3), self.dtype)
+        colors = jnp.concatenate(
+            [group_colors, jnp.ones((O, 1), self.dtype)], axis=1
+        )[jnp.clip(group_ids, 0, O - 1)]
+        return group_ids, colors
+
+    def _reset_model_fields(self, key: jax.Array):
+        """Subclass hook for per-episode Model randomization (the TPU
+        replacement for sim recreation, e.g. mesh-candidate selection in
+        mesh.py). Returns (model_fields-or-None, object half sizes)."""
+        _, colors = self._sample_object_groups(key)
+        fields = {
+            "geom_rgba": self.model.geom_rgba.at[
+                jnp.asarray(self.idx.object_geom_ids)
+            ].set(colors)
+        }
+        return fields, self._object_half_sizes()
+
     def reset(self, key: jax.Array) -> Tuple[core.EnvState, Dict]:
         cst = self.constants
         sp = self.parameters.simulation_params
-        k_place, k_rot, k_settle, k_goal, k_pause, k_state = (
-            jax.random.split(key, 6)
+        k_place, k_rot, k_settle, k_goal, k_pause, k_state, k_model = (
+            jax.random.split(key, 7)
         )
         active = self._active_mask()
-        sizes = self._object_half_sizes()
+        model_fields, sizes = self._reset_model_fields(k_model)
         d = self._initial_data
 
         # place objects (grid/rejection placement, common/base.py:797-822)
@@ -218,13 +316,13 @@ class BlocksRearrangeEnv:
         )
         d = sim_lib.set_object_poses(self.idx, d, pos, quat)
 
-        # stabilize objects (common/utils.py:76-94)
+        # stabilize objects (common/utils.py:76-94), under the per-episode
+        # randomized model (mesh selection etc.)
+        m = core.apply_model_fields(self.model, model_fields)
         if cst.stabilize_objects:
-            d = physics.step_n(
-                self.model, d, cst.stabilize_steps * cst.mujoco_substeps
-            )
+            d = physics.step_n(m, d, cst.stabilize_steps * cst.mujoco_substeps)
         else:
-            d = physics.fwd_position(self.model, d)
+            d = physics.fwd_position(m, d)
 
         goal = self.goal_gen.next_goal(
             k_goal, active, sizes, self.num_objects, d
@@ -237,11 +335,15 @@ class BlocksRearrangeEnv:
         state = core.EnvState(
             physics=d,
             goal=goal,
-            goal_aux=jnp.zeros((), self.dtype),
+            goal_aux=(
+                self._initial_solver_data if self._mocap_ik
+                else jnp.zeros((), self.dtype)
+            ),
             prev_goal_distance=self.goal_gen.goal_distance(goal, d, active),
             tracker=tracker,
             key=k_state,
             t=jnp.zeros((), jnp.int32),
+            model_fields=model_fields,
         )
         return state, self._observe(state)
 
@@ -256,11 +358,69 @@ class BlocksRearrangeEnv:
 
         d = state.physics
         rcp = self.parameters.robot_control_params
-        if rcp.is_tcp_controlled():
+        solver_d = state.goal_aux
+        arm_action = action[:-1]
+        if self._mocap_ik and rcp.use_force_limiter:
+            # force-based TCP control limiter
+            # (force_based_tcp_control_limiter.py:30-86): per-axis scaling
+            # of the TCP command from the measured |F|/|T|
+            from robogym_tpu.robot import tcp_force_limiter as limiter
+
+            tcp_f, tcp_t = sim_lib.contact_wrench_on_geoms(
+                self.idx.gripper_geom_ids,
+                arm_lib.tcp_xyz(self.robot.arm, d), m, d,
+            )
+            ft6 = jnp.concatenate([jnp.abs(tcp_f), jnp.abs(tcp_t)])
+            scales, _ = limiter.get_element_wise_tcp_control_limits(ft6)
+            n_rot = self.action_size - 4  # xyz + rot dofs + gripper
+            scale_vec = jnp.concatenate(
+                [scales[:3], scales[3 : 3 + n_rot]]
+            ).astype(arm_action.dtype)
+            arm_action = arm_action * scale_vec
+        if self._mocap_ik:
+            # dual-sim mocap_ik (joint_controlled_tcp_arm.py:90-129 +
+            # free_dof_tcp_arm.py:182-206): 1) sync solver arm to observed
+            # main-sim joints and solver gripper to main gripper; 2) TCP
+            # action drives the solver sim's mocap weld; 3) solver sim
+            # steps the same substeps; 4) its joint response becomes the
+            # main sim's PID position targets.
+            sm = self.solver_model
+            sarm = self.solver_robot.arm
+            sgrip = self.solver_robot.gripper
+            sq = solver_d.qpos
+            sq = sq.at[jnp.asarray(sarm.joint_qpos_ids)].set(
+                arm_lib.joint_positions(self.robot.arm, d)
+            )
+            sq = sq.at[sgrip.joint_qpos_id].set(
+                d.qpos[self.robot.gripper.joint_qpos_id]
+            )
+            sctrl = solver_d.ctrl.at[sgrip.actuator_id].set(
+                d.ctrl[self.robot.gripper.actuator_id]
+            )
+            solver_d = solver_d.replace(qpos=sq, ctrl=sctrl)
+            solver_d = physics.fwd_position(sm, solver_d)
+            solver_d = tcp_solver.tcp_set_position_control(
+                sm, solver_d, sarm.tcp_body_id, arm_action,
+                rcp.control_mode, rcp.default_max_position_change(),
+            )
+            solver_d = physics.step_n(sm, solver_d, cst.mujoco_substeps)
+            # solver joint response -> main-sim PID targets
+            target = arm_lib.joint_positions(sarm, solver_d)
+            aids = jnp.asarray(self.robot.arm.actuator_ids)
+            cr = m.actuator_ctrlrange[aids]
+            ctrl = d.ctrl.at[aids].set(
+                jnp.clip(target.astype(d.ctrl.dtype), cr[:, 0], cr[:, 1])
+            )
+            d = d.replace(ctrl=ctrl)
+            ctrl = gripper_lib.denormalize_position_control(
+                self.robot.gripper, m, d, action[-1:],
+                relative_action=cst.relative_action,
+            )
+        elif rcp.is_tcp_controlled():
             # TCP mocap mode (free_dof_tcp_arm.py): arm action advances the
             # mocap weld target; gripper action is the last dim
             d = tcp_solver.tcp_set_position_control(
-                m, d, self.robot.arm.tcp_body_id, action[:-1],
+                m, d, self.robot.arm.tcp_body_id, arm_action,
                 rcp.control_mode, rcp.default_max_position_change(),
             )
             ctrl = gripper_lib.denormalize_position_control(
@@ -273,6 +433,7 @@ class BlocksRearrangeEnv:
             )
         d = d.replace(ctrl=ctrl)
         d = physics.step_n(m, d, cst.mujoco_substeps)
+        d, crashed = core.divergence_guard(state.physics, d)
 
         dist = self.goal_gen.goal_distance(state.goal, d, active)
         goal_distance_reward = self._num_success(dist) - self._num_success(
@@ -303,9 +464,19 @@ class BlocksRearrangeEnv:
         env_reward = env_reward - jnp.where(
             table_contact, sp.penalty_table_collision, 0.0
         ).astype(self.dtype)
+        # safety-stop penalty (common/base.py:793-794 + arm_interface.py:43-46)
+        tcp_force, _ = sim_lib.contact_wrench_on_geoms(
+            self.idx.gripper_geom_ids, arm_lib.tcp_xyz(self.robot.arm, d), m, d
+        )
+        in_safety_stop = (
+            jnp.linalg.norm(tcp_force) > arm_lib.SAFETY_STOP_FORCE_THRESHOLD
+        )
+        env_reward = env_reward - jnp.where(
+            in_safety_stop, sp.penalty_safety_stop, 0.0
+        ).astype(self.dtype)
 
         key, k_goal, k_pause = jax.random.split(state.key, 3)
-        sizes = self._object_half_sizes()
+        sizes = sim_lib.geom_bbox_half(m, self.idx.object_geom_ids)
 
         def resample(_):
             goal = self.goal_gen.next_goal(
@@ -332,7 +503,8 @@ class BlocksRearrangeEnv:
         )
 
         new_state = core.EnvState(
-            physics=d, goal=goal, goal_aux=state.goal_aux,
+            physics=d, goal=goal,
+            goal_aux=solver_d if self._mocap_ik else state.goal_aux,
             prev_goal_distance=dist_after, tracker=tracker, key=key,
             t=state.t + 1, model_fields=state.model_fields,
         )
@@ -341,7 +513,9 @@ class BlocksRearrangeEnv:
             goal_distance_reward.astype(self.dtype),
             success_reward.astype(self.dtype),
         ])
+        done = done | crashed
         info = {
+            "env_crash": crashed,
             "successes_so_far": tracker.successes_so_far,
             "trial_success": tracker.trial_success,
             "objects_off_table": off_table,
@@ -354,7 +528,7 @@ class BlocksRearrangeEnv:
         """Core subset of _observe_simple (common/base.py:376-421), padded
         to max_num_objects like the reference."""
         d = state.physics
-        m = self.model
+        m = core.apply_model_fields(self.model, state.model_fields)
         active = self._active_mask()
         obj_pos = sim_lib.object_positions(self.idx, d)
         obj_quat = sim_lib.object_quats(self.idx, d)
@@ -362,6 +536,19 @@ class BlocksRearrangeEnv:
         mask = active[:, None].astype(self.dtype)
         tcp = arm_lib.tcp_xyz(self.robot.arm, d)
         dist = self.goal_gen.goal_distance(state.goal, d, active)
+        # wrist F/T readout + safety stop (joint_controlled_arm.py:79-85,
+        # arm_interface.py:43-46)
+        tcp_force, tcp_torque = sim_lib.contact_wrench_on_geoms(
+            self.idx.gripper_geom_ids, tcp, m, d
+        )
+        safety_stop = (
+            jnp.linalg.norm(tcp_force) > arm_lib.SAFETY_STOP_FORCE_THRESHOLD
+        )
+        goal_achieved = jnp.ones((), bool)
+        for k, thr in self._thresholds.items():
+            goal_achieved = goal_achieved & jnp.all(
+                jnp.where(active, dist[k] < thr, True)
+            )
         return {
             "obj_pos": obj_pos * mask,
             "obj_rot": jax.vmap(rot.quat2euler)(obj_quat) * mask,
@@ -370,8 +557,15 @@ class BlocksRearrangeEnv:
             "goal_obj_pos": state.goal["obj_pos"] * mask,
             "goal_obj_rot": jax.vmap(rot.quat2euler)(state.goal["obj_rot"]) * mask,
             "rel_goal_obj_pos": (state.goal["obj_pos"] - obj_pos) * mask,
-            "obj_gripper_contact": jnp.zeros(
-                (self.max_num_objects, 2), self.dtype
+            "obj_colors": m.geom_rgba[
+                jnp.asarray(self.idx.object_geom_ids)
+            ] * mask,
+            "obj_bbox_size": m.geom_size[
+                jnp.asarray(self.idx.object_geom_ids)
+            ] * mask,
+            "obj_gripper_contact": (
+                sim_lib.object_gripper_contact(self.idx, d).astype(self.dtype)
+                * mask
             ),
             "gripper_pos": tcp,
             "gripper_velp": arm_lib.tcp_vel(self.robot.arm, m, d),
@@ -381,12 +575,14 @@ class BlocksRearrangeEnv:
             "gripper_qpos": gripper_lib.joint_position(self.robot.gripper, d),
             "gripper_vel": gripper_lib.joint_velocity(self.robot.gripper, d),
             "qpos": d.qpos,
-            "qpos_goal": d.qpos,
+            "qpos_goal": sim_lib.goal_qpos(
+                self.idx, d, state.goal["obj_pos"], state.goal["obj_rot"]
+            ),
             "robot_joint_pos": arm_lib.joint_positions(self.robot.arm, d),
-            "tcp_force": jnp.zeros(3, self.dtype),
-            "tcp_torque": jnp.zeros(3, self.dtype),
-            "safety_stop": jnp.zeros(1, self.dtype),
-            "is_goal_achieved": jnp.zeros(1, self.dtype),
+            "tcp_force": tcp_force.astype(self.dtype),
+            "tcp_torque": tcp_torque.astype(self.dtype),
+            "safety_stop": safety_stop.astype(self.dtype)[None],
+            "is_goal_achieved": goal_achieved.astype(self.dtype)[None],
         }
 
 
@@ -396,15 +592,17 @@ def make_env(
     dtype=jnp.float32,
 ) -> BlocksRearrangeEnv:
     """Factory mirroring the reference `make_env = RearrangeEnv.build`."""
-    cst = RearrangeEnvConstants(**(constants or {}))
+    cst_kw = dict(constants or {})
+    if isinstance(cst_kw.get("goal_args"), dict):
+        cst_kw["goal_args"] = tuple(sorted(cst_kw["goal_args"].items()))
+    cst = RearrangeEnvConstants(**cst_kw)
     par_kw = dict(parameters or {})
     sp = RearrangeSimParameters(**par_kw.pop("simulation_params", {}))
     rcp_kw = par_kw.pop("robot_control_params", None)
     if rcp_kw is None:
-        rcp = composite_lib.RobotControlParameters(
-            control_mode=composite_lib.ControlMode.JOINT,
-            tcp_solver_mode=composite_lib.TcpSolverMode.MOCAP,
-        )
+        # reference default: TCP control through the mocap_ik dual-sim
+        # (robot_interface.py:33-128 defaults)
+        rcp = composite_lib.RobotControlParameters()
     else:
         rcp = composite_lib.RobotControlParameters(**rcp_kw)
     par = RearrangeEnvParameters(

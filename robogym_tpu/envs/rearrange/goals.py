@@ -28,7 +28,12 @@ class GoalArgs:
     randomize_goal_rot: bool = False
     rot_randomize_type: str = "z_axis"   # z_axis | block | full
     stabilize_goal: bool = False
-    rot_dist_type: str = "full"          # full | mod90 | mod180
+    rot_dist_type: str = "full"          # full | mod90 | mod180 | icp
+    icp_max_num_vertices: int = 500      # (object_state.py:142)
+    # train-state curriculum mixture (object_state.py:165-169)
+    height_range: Tuple[float, float] = (0.05, 0.25)
+    pickup_proba: float = 0.0
+    stacking_proba: float = 0.0
 
 
 def sample_goal_positions(
@@ -113,15 +118,23 @@ def sample_goal_rotations(
 
 
 def rot_distance(
-    q1: jax.Array, q2: jax.Array, dist_type: str = "full"
+    q1: jax.Array, q2: jax.Array, dist_type: str = "full",
+    verts: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Rotational distance per object (goals/object_state.py:142-170 and
-    utils/rotation.py): full quat distance, or mod-90/mod-180 symmetry
-    reduction for box-shaped objects."""
+    utils/rotation.py): full quat distance, mod-90/mod-180 symmetry
+    reduction for box-shaped objects, or ICP residual rotation for meshes
+    (goals/object_state.py:258-295 `_icp_euler_angle_difference`; `verts`
+    is the (O, V, 3) local-frame vertex cloud per object)."""
     if dist_type == "full":
         return rot.quat_magnitude(
             rot.quat_normalize(rot.quat_difference(q1, q2))
         )
+    if dist_type == "icp":
+        assert verts is not None, "icp rot_dist_type needs object vertices"
+        from robogym_tpu.utils.icp import icp_rotation_distance
+
+        return jax.vmap(icp_rotation_distance)(verts, q1, q2)
     # symmetry-reduced: try all symmetry quats, take the min distance
     from robogym_tpu.envs.dactyl.cube_env import PARALLEL_QUATS
 
@@ -141,14 +154,22 @@ def rot_distance(
 
 class ObjectStateGoal:
     """Free-placement position(+rotation) goal
-    (goals/object_state.py:173-599)."""
+    (goals/object_state.py:173-599). Satisfies the
+    robogym_tpu.goal.goal_generator.GoalGenerator protocol (checked in
+    tests/test_blocks_env.py)."""
 
     def __init__(self, idx: sim_lib.RearrangeIndex, args: GoalArgs = GoalArgs(),
-                 used_table_portion: float = 1.0, dtype=jnp.float32):
+                 used_table_portion: float = 1.0, dtype=jnp.float32,
+                 icp_verts: Optional[np.ndarray] = None):
         self.idx = idx
         self.args = args
         self.used_table_portion = used_table_portion
         self.dtype = dtype
+        # (O, V, 3) local-frame vertex clouds for the icp rot-dist mode
+        # (object_state.py:408-415 builds per-goal ICP over goal vertices)
+        self.icp_verts = (
+            None if icp_verts is None else jnp.asarray(icp_verts, dtype)
+        )
 
     def next_goal(
         self, key: jax.Array, active_mask: jax.Array, object_size: jax.Array,
@@ -173,7 +194,10 @@ class ObjectStateGoal:
         cur_pos = sim_lib.object_positions(self.idx, d)
         cur_quat = sim_lib.object_quats(self.idx, d)
         pos_dist = jnp.linalg.norm(goal["obj_pos"] - cur_pos, axis=-1)
-        rdist = rot_distance(goal["obj_rot"], cur_quat, self.args.rot_dist_type)
+        rdist = rot_distance(
+            goal["obj_rot"], cur_quat, self.args.rot_dist_type,
+            verts=self.icp_verts,
+        )
         mask = active_mask.astype(pos_dist.dtype)
         out = {"obj_pos": pos_dist * mask}
         if self.args.randomize_goal_rot:
@@ -181,6 +205,64 @@ class ObjectStateGoal:
         else:
             out["obj_rot"] = jnp.zeros_like(rdist)
         return out
+
+
+class TrainStateGoal(ObjectStateGoal):
+    """Training goal with ADR-facing curriculum knobs
+    (goals/train_state.py): goal distance scaled by `goal_distance_ratio`,
+    and with probability `pickup_proba` one object is lifted into the air /
+    `stacking_proba` a random tower is requested."""
+
+    def __init__(self, *args, goal_distance_ratio: float = 1.0, **kw):
+        super().__init__(*args, **kw)
+        self.goal_distance_ratio = goal_distance_ratio
+
+    def next_goal(self, key, active_mask, object_size, num_objects_used, d):
+        k_base, k_p, k_lift, k_tower, k_order = jax.random.split(key, 5)
+        goal = super().next_goal(
+            k_base, active_mask, object_size, num_objects_used, d
+        )
+        cur = sim_lib.object_positions(self.idx, d)
+        ratio = jnp.asarray(self.goal_distance_ratio, self.dtype)
+        # place_targets_with_goal_distance_ratio: target moves only `ratio`
+        # of the way from the current position (common/utils.py:922)
+        pos = cur + (goal["obj_pos"] - cur) * ratio
+        pos = jnp.where(active_mask[:, None], pos, goal["obj_pos"])
+
+        O = self.idx.max_num_objects
+        p = jax.random.uniform(k_p, (), self.dtype)
+        args = self.args
+        # pickup branch (train_state.py:44-55)
+        height = jax.random.uniform(
+            k_lift, (), self.dtype, args.height_range[0], args.height_range[1]
+        )
+        target_i = jax.random.randint(k_lift, (), 0, num_objects_used)
+        lifted = pos.at[target_i, 2].add(height * ratio)
+        # stacking branch (train_state.py:57-77): tower over a random base
+        # in a random object order
+        order = jax.random.permutation(k_order, O)
+        tower_size = jax.random.randint(
+            k_tower, (), 2, max(num_objects_used, 2) + 1
+        )
+        base = pos[order[0]]
+        rank = jnp.argsort(order)                     # rank of each object
+        in_tower = (rank < tower_size) & active_mask
+        stacked_z = base[2] + rank.astype(self.dtype) * 2.0 * object_size[
+            :, 2
+        ].astype(self.dtype)
+        stacked = jnp.where(
+            in_tower[:, None],
+            jnp.concatenate(
+                [jnp.tile(base[:2], (O, 1)), stacked_z[:, None]], axis=1
+            ),
+            pos,
+        )
+        pos = jnp.where(
+            p < args.pickup_proba,
+            lifted,
+            jnp.where(p < args.pickup_proba + args.stacking_proba, stacked, pos),
+        )
+        return dict(goal, obj_pos=pos)
 
 
 class ObjectReachGoal(ObjectStateGoal):
@@ -203,20 +285,54 @@ class ObjectReachGoal(ObjectStateGoal):
 
 class ObjectStackGoal(ObjectStateGoal):
     """Stack objects into a tower over a random base position
-    (goals/object_stack_goal.py:12-60)."""
+    (goals/object_stack_goal.py:12-60). `fixed_order=False` stacks in a
+    random object order (object_stack_goal.py:42-52)."""
+
+    def __init__(self, *args, fixed_order: bool = True, **kw):
+        super().__init__(*args, **kw)
+        self.fixed_order = fixed_order
+
+    def next_goal(self, key, active_mask, object_size, num_objects_used, d):
+        k_base, k_order = jax.random.split(key)
+        goal = super().next_goal(
+            k_base, active_mask, object_size, num_objects_used, d
+        )
+        base = goal["obj_pos"][0]
+        O = self.idx.max_num_objects
+        if self.fixed_order:
+            rank = jnp.arange(O)
+        else:
+            rank = jnp.argsort(jax.random.permutation(k_order, O))
+        heights = 2.0 * object_size[:, 2].astype(self.dtype)
+        # object with stack rank r sits at base + sum of heights below it —
+        # approximated with uniform block heights (reference uses the scalar
+        # object_size, object_stack_goal.py:41-52)
+        stacked_z = base[2] + rank.astype(self.dtype) * heights
+        stacked = jnp.concatenate(
+            [jnp.tile(base[:2], (O, 1)), stacked_z[:, None]], axis=1
+        )
+        pos = jnp.where(active_mask[:, None], stacked, goal["obj_pos"])
+        return dict(goal, obj_pos=pos)
+
+
+class DeterministicReachGoal(ObjectReachGoal):
+    """Reach goal with a fixed pool of target positions
+    (goals/object_reach_goal.py:56-81). The reference alternates an internal
+    index; functionally the pool index is drawn from the reset key here
+    (stateless generator contract)."""
+
+    ALL_POSITIONS = np.array([
+        [1.50253879, 0.36960144, 0.5170952],
+        [1.32253879, 0.53960144, 0.5170952],
+    ])
 
     def next_goal(self, key, active_mask, object_size, num_objects_used, d):
         goal = super().next_goal(
             key, active_mask, object_size, num_objects_used, d
         )
-        base = goal["obj_pos"][0]
-        O = self.idx.max_num_objects
-        heights = jnp.cumsum(
-            jnp.concatenate([jnp.zeros(1, self.dtype),
-                             2.0 * object_size[:-1, 2].astype(self.dtype)])
-        )
-        stacked = jnp.tile(base, (O, 1)).at[:, 2].add(heights)
-        pos = jnp.where(active_mask[:, None], stacked, goal["obj_pos"])
+        i = jax.random.randint(key, (), 0, len(self.ALL_POSITIONS))
+        p = jnp.asarray(self.ALL_POSITIONS, self.dtype)[i]
+        pos = goal["obj_pos"].at[0].set(p)
         return dict(goal, obj_pos=pos)
 
 

@@ -101,6 +101,8 @@ class RearrangeIndex:
     table_geom_id: int
     table_body_id: int
     gripper_geom_ids: np.ndarray
+    left_finger_geom_ids: np.ndarray   # (simulation/base.py:548+ per-finger)
+    right_finger_geom_ids: np.ndarray
     table_pos: np.ndarray            # (3,)
     table_size: np.ndarray           # (3,) half sizes
 
@@ -108,6 +110,12 @@ class RearrangeIndex:
         "robot0:gripper_base", "left_gripper", "left_inner_follower",
         "left_outer_driver", "right_gripper", "right_inner_follower",
         "right_outer_driver",
+    )
+    LEFT_FINGER_BODIES = (
+        "left_gripper", "left_inner_follower", "left_outer_driver",
+    )
+    RIGHT_FINGER_BODIES = (
+        "right_gripper", "right_inner_follower", "right_outer_driver",
     )
 
     @classmethod
@@ -123,13 +131,19 @@ class RearrangeIndex:
             j = jn[f"object{i}:joint"]
             qpos_adr.append(int(c.jnt_qposadr[j]))
             dof_adr.append(int(c.jnt_dofadr[j]))
-        grip_geoms = []
-        for gb in cls.GRIPPER_BODIES:
-            if gb in bn:
-                bid = bn[gb]
-                grip_geoms.extend(
-                    int(g) for g in np.nonzero(geom_bodyid == bid)[0]
-                )
+        def geoms_of(bodies):
+            out = []
+            for gb in bodies:
+                if gb in bn:
+                    bid = bn[gb]
+                    out.extend(
+                        int(g) for g in np.nonzero(geom_bodyid == bid)[0]
+                    )
+            return sorted(out)
+
+        grip_geoms = geoms_of(cls.GRIPPER_BODIES)
+        left_geoms = geoms_of(cls.LEFT_FINGER_BODIES)
+        right_geoms = geoms_of(cls.RIGHT_FINGER_BODIES)
         tgid = gn["table"]
         tbid = bn["table"]
         return cls(
@@ -140,7 +154,9 @@ class RearrangeIndex:
             object_dof_adr=np.asarray(dof_adr, np.int32),
             table_geom_id=int(tgid),
             table_body_id=int(tbid),
-            gripper_geom_ids=np.asarray(sorted(grip_geoms), np.int32),
+            gripper_geom_ids=np.asarray(grip_geoms, np.int32),
+            left_finger_geom_ids=np.asarray(left_geoms, np.int32),
+            right_finger_geom_ids=np.asarray(right_geoms, np.int32),
             table_pos=np.asarray(model.body_pos)[tbid].copy(),
             table_size=np.asarray(model.geom_size)[tgid].copy(),
         )
@@ -250,6 +266,98 @@ def gripper_table_contact(idx: RearrangeIndex, m: Model, d: Data) -> jax.Array:
     return jnp.any(touching)
 
 
+def geom_bbox_half(m: Model, gids: np.ndarray) -> jax.Array:
+    """Axis-aligned bounding half-extents per geom, by type — the
+    placement/goal code needs true bboxes, not raw `geom_size` (cylinder
+    size is (r, halfheight, 0), sphere is (r, 0, 0); reference bboxes come
+    from simulation/base.py:get_object_bounding_boxes)."""
+    from robogym_tpu.mjcf.model import GeomType
+
+    c = m.const
+    t = np.asarray(c.geom_type)[np.asarray(gids)]
+    s = m.geom_size[jnp.asarray(gids)]
+    r = s[:, :1]
+    hh = s[:, 1:2]
+    box = s
+    sphere = jnp.concatenate([r, r, r], axis=1)
+    cyl = jnp.concatenate([r, r, hh], axis=1)
+    cap = jnp.concatenate([r, r, hh + r], axis=1)
+    t = t[:, None]
+    out = jnp.where(
+        t == GeomType.SPHERE, sphere,
+        jnp.where(
+            t == GeomType.CYLINDER, cyl,
+            jnp.where(t == GeomType.CAPSULE, cap, box),
+        ),
+    )
+    return out
+
+
+def contact_wrench_on_geoms(
+    geom_ids: jax.Array, ref_point: jax.Array, m: Model, d: Data
+) -> Tuple[jax.Array, jax.Array]:
+    """Aggregate contact wrench (force, torque about `ref_point`) acting on a
+    geom set, from the constraint solution's per-contact normal forces.
+
+    TPU analogue of the wrist F/T sensor readout the reference observes
+    (/root/reference/robogym/robot/ur16e/mujoco/joint_controlled_arm.py:79-85
+    `tcp_force`/`tcp_torque`; threshold use arm_interface.py:43-46).
+    Approximation: `efc_force_contact` sums a contact's pyramidal facet
+    forces, whose tangential components cancel pairwise — the aggregate is
+    the contact-normal load, which is what the safety stop thresholds.
+    Contact normals point from geom1 into geom2 (MuJoCo convention), so the
+    force ON the set flips sign when the set's geom is geom1.
+    """
+    con = d.contact
+    ids = jnp.asarray(geom_ids)
+    in1 = jnp.isin(con.geom1, ids)
+    in2 = jnp.isin(con.geom2, ids)
+    sign = jnp.where(in2, 1.0, 0.0) - jnp.where(in1, 1.0, 0.0)
+    f = d.efc_force_contact * sign * con.active
+    Fvec = f[:, None] * con.frame[:, 0]                     # (ncon, 3)
+    F = Fvec.sum(axis=0)
+    T = jnp.cross(con.pos - ref_point[None, :], Fvec).sum(axis=0)
+    return F, T
+
+
+def object_gripper_contact(idx: RearrangeIndex, d: Data) -> jax.Array:
+    """(O, 2) contact flags object<->{left,right} finger
+    (simulation/base.py:548-635 get_object_gripper_contact)."""
+    con = d.contact
+    obj = jnp.asarray(idx.object_geom_ids)                  # (O,)
+    left = jnp.asarray(idx.left_finger_geom_ids)
+    right = jnp.asarray(idx.right_finger_geom_ids)
+    is_obj1 = con.geom1[None, :] == obj[:, None]            # (O, ncon)
+    is_obj2 = con.geom2[None, :] == obj[:, None]
+    out = []
+    for fingers in (left, right):
+        is_f1 = jnp.isin(con.geom1, fingers)[None, :]
+        is_f2 = jnp.isin(con.geom2, fingers)[None, :]
+        touch = con.active[None, :] & (
+            (is_obj1 & is_f2) | (is_obj2 & is_f1)
+        )
+        out.append(jnp.any(touch, axis=1))
+    return jnp.stack(out, axis=1)                           # (O, 2)
+
+
+def goal_qpos(
+    idx: RearrangeIndex, d: Data, goal_pos: jax.Array, goal_quat: jax.Array
+) -> jax.Array:
+    """qpos with object free joints teleported to the goal poses — the
+    reference's `qpos_goal` observation (common/base.py:399-404, built from
+    the goal-state sim snapshot)."""
+    qpos = d.qpos
+    for i in range(idx.max_num_objects):
+        a = int(idx.object_qpos_adr[i])
+        qpos = jax.lax.dynamic_update_slice(
+            qpos, goal_pos[i].astype(qpos.dtype), (a,)
+        )
+        qpos = jax.lax.dynamic_update_slice(
+            qpos, goal_quat[i].astype(qpos.dtype), (a + 3,)
+        )
+    return qpos
+
+
 def compile_blocks_world(
     max_num_objects: int,
     block_size: float = 0.0254,
@@ -262,3 +370,24 @@ def compile_blocks_world(
     )
     model = compile_xml(xml, dtype=dtype)
     return model, RearrangeIndex.build(model, max_num_objects)
+
+
+def compile_solver_world(
+    robot_control_params: RobotControlParameters,
+    mujoco_timestep: float = 0.001,
+    dtype=jnp.float32,
+) -> Model:
+    """The mocap_ik SOLVER simulation: the same arm+gripper+table world in
+    MOCAP mode, with no task objects — the second MjSim of the reference's
+    dual-sim TCP control (build_solver_sim,
+    /root/reference/robogym/robot/composite/ur_gripper_arm.py:146-160; the
+    solver sim shares the main sim's timestep and substeps)."""
+    import dataclasses as _dc
+
+    solver_params = _dc.replace(
+        robot_control_params, tcp_solver_mode="mocap"
+    )
+    xml = build_blocks_world_xml(
+        0, robot_control_params=solver_params, mujoco_timestep=mujoco_timestep
+    )
+    return compile_xml(xml, dtype=dtype)

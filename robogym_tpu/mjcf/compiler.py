@@ -1101,9 +1101,15 @@ class _Compiler:
 
 
 def compile_xml(xml: "MjcfXML | str", dtype=jnp.float64) -> Model:
-    """Compile a composed MJCF document (or raw XML string) into a Model."""
+    """Compile a composed MJCF document (or raw XML string) into a Model.
+
+    The source XML string is stashed on `model.const._source_xml` so
+    host-side tooling (viewer replay via the MuJoCo 3 offscreen renderer,
+    holdout authoring) can rebuild the scene without re-plumbing it."""
     if isinstance(xml, str):
         xml = MjcfXML.from_string(xml)
     comp = _Compiler(copy.deepcopy(xml.root_element))
     comp.parse()
-    return comp.build(dtype=dtype)
+    model = comp.build(dtype=dtype)
+    object.__setattr__(model.const, "_source_xml", xml.xml_string())
+    return model

@@ -469,6 +469,11 @@ class Data(_Replaceable):
     ten_velocity: jax.Array  # (ntendon,)
     ten_J: jax.Array       # (ntendon, nv)
     act_dot: jax.Array     # (na,)
+    # d(actuator force)/d(qvel) diagonal (negated): per-dof velocity-feedback
+    # damping from user-gain controllers, folded into the implicit Euler
+    # solve for stability (velocity loops like the UR16e cascaded-PI's
+    # Kvp=70 are explicitly unstable at dt=1ms on low-inertia wrist dofs)
+    act_vel_damping: jax.Array  # (nv,)
 
     # contacts & constraint solution
     contact: Contact
@@ -521,7 +526,7 @@ def make_data(model: Model, dtype=jnp.float32, qpos0: Optional[np.ndarray] = Non
         qfrc_bias=z(nv), qfrc_passive=z(nv), qfrc_actuator=z(nv),
         actuator_length=z(nu), actuator_velocity=z(nu), actuator_force=z(nu),
         ten_length=z(c.ntendon), ten_velocity=z(c.ntendon), ten_J=z(c.ntendon, nv),
-        act_dot=z(na),
+        act_dot=z(na), act_vel_damping=z(nv),
         contact=contact,
         qacc_smooth=z(nv), qacc=z(nv), qfrc_constraint=z(nv),
         efc_force_contact=z(ncon),

@@ -2,14 +2,22 @@
 
 The TPU-native replacement for the reference's absent rollout infrastructure
 (SURVEY.md §2.3: the reference runs one MjSim per process; rollout
-parallelism lived outside the repo). Design per the scaling recipe:
+parallelism lived outside the repo). Two equivalent paths:
 
-  * the env batch axis is sharded over the mesh's `dp` axis
-    (embarrassingly parallel physics — zero cross-chip traffic per step)
-  * per-step metrics (reward means, success counts, done fractions) are
-    reduced with `jax.lax.p*` collectives over ICI inside `shard_map`
-  * multi-host: the same code runs under `jax.distributed.initialize`;
-    each host feeds its addressable shard of the batch
+  * `make_rollout_fn` — GSPMD: the env batch axis is sharded over the
+    mesh's `dp` axis via in/out shardings; XLA inserts the metric
+    all-reduces implied by the global means. Zero cross-chip traffic for
+    the physics itself (embarrassingly parallel).
+  * `make_shardmap_rollout_fn` — explicit SPMD: the same rollout under
+    `shard_map`, with per-step metrics reduced by `jax.lax.pmean` over the
+    `dp` axis (collectives ride ICI). Exercised on the virtual 8-device
+    CPU mesh in tests/test_parallel.py.
+
+Multi-host status: single-process only in this environment (one tunneled
+chip; no second host to run `jax.distributed.initialize` against). Both
+paths are written against a `Mesh`, so a multi-host mesh built after
+`jax.distributed.initialize` slots in unchanged — but that configuration is
+NOT exercised here.
 """
 
 from __future__ import annotations
@@ -88,6 +96,62 @@ def make_rollout_fn(
             NamedSharding(mesh, P()),
         ),
     )
+
+
+def make_shardmap_rollout_fn(env, mesh: Mesh, n_steps: int):
+    """Explicit-SPMD rollout: runs per-shard under `shard_map`, reducing the
+    per-step metrics with `jax.lax.pmean` over `dp` (ICI collectives). The
+    physics itself needs no collectives — each shard steps its local envs.
+
+    Per-shard action RNG: the caller key is folded with the shard's dp index
+    so shards draw independent actions (deterministic in (key, mesh))."""
+    from jax.experimental.shard_map import shard_map
+
+    n_dp = mesh.shape["dp"]
+
+    def rollout_shard(state_b, key):
+        local = jax.tree_util.tree_leaves(state_b)[0].shape[0]
+        key = jax.random.fold_in(key[0], jax.lax.axis_index("dp"))
+
+        def body(carry, _):
+            state_b, key = carry
+            key, k_act = jax.random.split(key)
+            actions = jax.random.uniform(
+                k_act, (local, env.action_size), minval=-1.0, maxval=1.0
+            )
+            state_b, obs, reward, done, info = jax.vmap(env.step)(
+                state_b, actions
+            )
+            step_metrics = {
+                "reward_mean": jax.lax.pmean(reward.sum(-1).mean(), "dp"),
+                "done_frac": jax.lax.pmean(done.mean(), "dp"),
+            }
+            if "is_successful" in info:
+                step_metrics["success_rate"] = jax.lax.pmean(
+                    info["is_successful"].mean(), "dp"
+                )
+            return (state_b, key), step_metrics
+
+        (state_b, _), ms = jax.lax.scan(
+            body, (state_b, key), None, length=n_steps
+        )
+        return state_b, {k: v.mean()[None] for k, v in ms.items()}
+
+    f = shard_map(
+        rollout_shard,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp")),
+        check_rep=False,
+    )
+
+    def run(state_b, key):
+        keys = jnp.broadcast_to(key, (n_dp, *key.shape))
+        state_b, metrics = f(state_b, keys)
+        # pmean left identical copies on every shard; take the global mean
+        return state_b, {k: v.mean() for k, v in metrics.items()}
+
+    return jax.jit(run)
 
 
 def scaling_report(env, batch_per_device: int = 128, n_steps: int = 10,

@@ -150,13 +150,16 @@ def actuation(m: Model, d: Data, moment: jax.Array) -> Data:
         smooth_new = des_vel
         des_vel = jnp.clip(des_vel, -max_vel, max_vel)
 
-        # velocity PI -> force
+        # velocity PI -> force. The integral accumulates in rad and is
+        # clamped DIRECTLY to +-kvi_clamp (calibration XML naming:
+        # "kvp kvi kvi_clamp"); its torque contribution is Kvp/Tiv *
+        # integral. The previous term-level clamp capped the integral
+        # torque at ~1 N*m — the UR16e shoulder needs ~100 N*m of
+        # steady-state gravity torque, which only the integral can supply
+        # (P-term alone left 0.1-0.3 rad of sag under zero action).
         verror = des_vel - velocity
         int_vel = int_vel + verror * dt
-        iv_limit = jnp.where(
-            tiv > 1e-12, iclamp_v * tiv / jnp.maximum(kvp, 1e-12), 0.0
-        )
-        int_vel = jnp.clip(int_vel, -iv_limit, iv_limit)
+        int_vel = jnp.clip(int_vel, -iclamp_v, iclamp_v)
         iterm_vel = jnp.where(
             tiv > 1e-12, kvp * int_vel / jnp.maximum(tiv, 1e-12), 0.0
         )
@@ -189,6 +192,16 @@ def actuation(m: Model, d: Data, moment: jax.Array) -> Data:
         force,
     )
     qfrc_actuator = moment.T @ force
+
+    # velocity-feedback damping (|df/dqvel|) for the implicit Euler solve:
+    # cascaded-PI contributes Kvp per actuator (f = Kvp*(des_vel - vel))
+    act_vel_damping = jnp.zeros(c.nv, dtype)
+    if len(cas_ids):
+        kvp_all = m.actuator_gainprm[jnp.asarray(cas_ids), 5]
+        mom2 = moment[jnp.asarray(cas_ids)] ** 2        # (C, nv)
+        act_vel_damping = act_vel_damping + (kvp_all[:, None] * mom2).sum(0)
+
     return d.replace(
-        actuator_force=force, qfrc_actuator=qfrc_actuator, act=act_new, ctrl=d.ctrl
+        actuator_force=force, qfrc_actuator=qfrc_actuator, act=act_new,
+        ctrl=d.ctrl, act_vel_damping=act_vel_damping,
     )

@@ -126,9 +126,11 @@ def euler(m: Model, d: Data) -> Data:
     """Semi-implicit Euler with implicit joint damping (MuJoCo mj_Euler):
     qvel += dt * (M + dt*diag(damping))^-1 * qfrc_total(qvel)."""
     dt = m.opt.timestep
-    # implicit damping stabilizes the stiff PID + damping combination
+    # implicit damping stabilizes the stiff PID + damping combination;
+    # actuator velocity-feedback gains (cascaded-PI Kvp) fold in too —
+    # explicit integration of Kvp=70 on ~0.06 kg*m^2 wrist dofs limit-cycles
     qfrc_total = d.qM @ d.qacc  # == qfrc_smooth + qfrc_constraint
-    M_imp = d.qM + dt * jnp.diag(m.dof_damping)
+    M_imp = d.qM + dt * jnp.diag(m.dof_damping + d.act_vel_damping)
     qacc_imp = jax.scipy.linalg.cho_solve(
         (jax.scipy.linalg.cholesky(M_imp, lower=True), True), qfrc_total
     )

@@ -74,11 +74,14 @@ def get_tcp_quat_delta(
 
 
 def mocap_set_action(
-    d: Data, pos_delta: jax.Array, quat_delta: jax.Array, mocapid: int = 0
+    d: Data, pos_delta: jax.Array, quat_delta: jax.Array, tcp_body: int,
+    mocapid: int = 0,
 ) -> Data:
     """gym.envs.robotics utils.mocap_set_action semantics (the reference's
-    mocap backend, mocap_solver.py:52-53): position and quaternion components
-    are advanced additively; the quat renormalizes in kinematics."""
+    mocap backend, mocap_solver.py:52-53): the mocap target is RESET to the
+    welded body's current pose first (reset_mocap2body_xpos), then advanced
+    additively by the deltas; the quat renormalizes in kinematics."""
+    d = reset_mocap_to_body(d, tcp_body, mocapid)
     mocap_pos = d.mocap_pos.at[mocapid].add(pos_delta.astype(d.mocap_pos.dtype))
     mocap_quat = d.mocap_quat.at[mocapid].add(
         quat_delta.astype(d.mocap_quat.dtype)
@@ -119,4 +122,4 @@ def tcp_set_position_control(
     )
     angle_ctrl = action[3 : 3 + len(dof_axes)] * speed
     quat_delta = get_tcp_quat_delta(d, tcp_body, angle_ctrl, dof_axes, align)
-    return mocap_set_action(d, pos_delta, quat_delta)
+    return mocap_set_action(d, pos_delta, quat_delta, tcp_body)

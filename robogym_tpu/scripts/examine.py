@@ -34,9 +34,13 @@ def main(argv=None):
     num_steps = int(kwargs.pop("num_steps", 20))
     seed = int(kwargs.pop("seed", 0))
     record = kwargs.pop("record", None)
+    teleop = bool(kwargs.pop("teleop", False))
 
     env = load_env(pattern, **kwargs)
     print(f"Loaded env {type(env).__name__} (action_size={env.action_size})")
+
+    if teleop:
+        return _teleop_loop(env, seed, record)
 
     reset = jax.jit(env.reset)
     step = jax.jit(env.step)
@@ -63,6 +67,43 @@ def main(argv=None):
             key, k = jax.random.split(key)
             state, obs = reset(k)
 
+    if record:
+        np.savez(record, qpos=np.stack(traj))
+        print(f"saved {len(traj)}-frame qpos trajectory to {record}")
+
+
+def _teleop_loop(env, seed: int, record):
+    """Interactive stdin teleop (the RobotControlViewer analogue,
+    /root/reference/robogym/viewer/robot_control_viewer.py:44-107, driven by
+    typed commands instead of GLFW keys). Commands: up/down/left/right,
+    z+/z-, wrist+/wrist-, grip+/grip-, +/- (speed), q (quit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robogym_tpu.robot.teleop import URGripperArmController
+
+    ctl = URGripperArmController(env)
+    reset = jax.jit(env.reset)
+    step = jax.jit(env.step)
+    state, obs = reset(jax.random.key(seed))
+    traj = [np.asarray(state.physics.qpos)]
+    print("teleop: " + " ".join(sorted(ctl.KEYMAP)) + " | +/- speed | q quit")
+    while True:
+        try:
+            cmd = input("> ").strip()
+        except EOFError:
+            break
+        if cmd == "q":
+            break
+        try:
+            action = ctl.action_for(cmd) if cmd else ctl.zero_control()
+        except KeyError:
+            print(f"unknown command {cmd!r}")
+            continue
+        state, obs, reward, done, info = step(state, jnp.asarray(action))
+        traj.append(np.asarray(state.physics.qpos))
+        print(f"reward={np.array2string(np.asarray(reward), precision=3)} "
+              f"done={bool(done)}")
     if record:
         np.savez(record, qpos=np.stack(traj))
         print(f"saved {len(traj)}-frame qpos trajectory to {record}")

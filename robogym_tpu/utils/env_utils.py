@@ -22,13 +22,16 @@ class InvalidSimulationError(Exception):
 
 def get_function(fn_data: Dict[str, Any]) -> Callable:
     """Resolve {"function": "module:fn", "args": {...}} references
-    (env_utils.py:43-61)."""
+    (env_utils.py:43-61). Module paths from the reference's shipped configs
+    (`robogym.envs...`) are remapped to this package."""
     import functools
     import importlib
 
     name = fn_data["function"]
     extra_args = fn_data.get("args", {})
     module_path, fn_name = name.split(":")
+    if module_path.startswith("robogym."):
+        module_path = "robogym_tpu." + module_path[len("robogym."):]
     module = importlib.import_module(module_path)
     fn = getattr(module, fn_name)
     if extra_args:
@@ -62,6 +65,14 @@ class MakeEnvFinder:
                 config = json.load(f)
             spec = config["make_env"]
             return get_function(spec)
+        # 2b. jsonnet config (the reference's holdout tier, env_utils.py:96)
+        # evaluated by the from-scratch subset evaluator in utils/jsonnet
+        if (pattern.endswith(".jsonnet") or pattern.endswith(".libsonnet")) \
+                and os.path.exists(pattern):
+            from robogym_tpu.utils import jsonnet
+
+            config = jsonnet.evaluate_file(pattern)
+            return get_function(config["make_env"])
         # 3. name fragment against the env zoo
         matches = []
         for path in sorted(
@@ -76,20 +87,43 @@ class MakeEnvFinder:
         return module.get(arg_filter or "make_env")
 
 
+def _recursive_update(base: dict, update: dict) -> dict:
+    """(reference common/utils.py:36-42 recursive_dict_update)."""
+    out = dict(base)
+    for k, v in update.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _recursive_update(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def load_env(
     pattern: str,
     constants: Optional[dict] = None,
     parameters: Optional[dict] = None,
     **kwargs,
 ):
-    """(env_utils.py:137-166)."""
+    """(env_utils.py:137-166). Extension over the reference: when the
+    pattern resolves to a config-bound factory (json/jsonnet), caller
+    constants/parameters are MERGED into the config's recursively instead
+    of replacing them wholesale."""
+    import functools
+
     make_env = MakeEnvFinder.find(pattern)
     assert make_env is not None, f"No env found for pattern {pattern!r}"
+    bound = (
+        make_env.keywords if isinstance(make_env, functools.partial) else {}
+    )
     call_kwargs = {}
     if constants is not None:
-        call_kwargs["constants"] = constants
+        call_kwargs["constants"] = _recursive_update(
+            bound.get("constants", {}) or {}, constants
+        )
     if parameters is not None:
-        call_kwargs["parameters"] = parameters
+        call_kwargs["parameters"] = _recursive_update(
+            bound.get("parameters", {}) or {}, parameters
+        )
     import inspect
 
     sig = inspect.signature(make_env)

@@ -70,7 +70,16 @@ def get_library():
 
 def solve_fast(facelets: str, max_depth: int = 24) -> Optional[str]:
     """Two-phase solve; returns a space-separated move string like
-    "U R2 F'" or None (reference solve_fast returns kociemba.solve)."""
+    "U R2 F'" or None (reference solve_fast returns kociemba.solve).
+
+    Cheap sanity checks run first: an illegal facelet state (bad color
+    counts / wrong centers) would otherwise send the search into an
+    exhaustive, near-unbounded walk before giving up."""
+    if len(facelets) != 54:
+        return None
+    for i, face in enumerate("URFDLB"):
+        if facelets.count(face) != 9 or facelets[9 * i + 4] != face:
+            return None
     lib = get_library()
     out = ctypes.create_string_buffer(512)
     n = lib.rubik_solve(facelets.encode(), max_depth, out, 512)

@@ -129,7 +129,11 @@ class WrappedEnv:
         state, obs = self.env.reset(k_env)
         tstates = self._init_transforms(k_init)
         model_fields = self._randomize_model(tstates, k_model)
-        state = state.replace(model_fields=model_fields)
+        if model_fields is not None:
+            # merge over env-set per-episode fields (e.g. mesh selection)
+            merged = dict(state.model_fields or {})
+            merged.update(model_fields)
+            state = state.replace(model_fields=merged)
 
         new_tstates = []
         keys = jax.random.split(k_obs, max(len(self.transforms), 1))

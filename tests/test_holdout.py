@@ -1,0 +1,95 @@
+"""Holdout system tests: jsonnet-subset evaluator coverage, env loading
+from the reference's shipped configs, npz state loading, and the physical-
+stability regression tier
+(/root/reference/robogym/envs/rearrange/holdouts/tests/test_stability.py:215-260)."""
+
+import glob
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robogym_tpu.utils import jsonnet
+from robogym_tpu.utils.env_utils import load_env
+
+CONFIG_DIR = "/root/reference/robogym/envs/rearrange/holdouts/configs"
+
+FAST = dict(
+    constants=dict(mujoco_substeps=2),
+    parameters=dict(robot_control_params=dict(
+        control_mode="joint", tcp_solver_mode="mocap",
+    )),
+)
+
+
+def test_jsonnet_evaluates_every_shipped_config():
+    """Every reference holdout jsonnet must evaluate (imports, `+:` merges,
+    hidden fields, `$` late binding, comprehensions, conditional fields)."""
+    files = sorted(glob.glob(f"{CONFIG_DIR}/**/*.jsonnet", recursive=True))
+    assert len(files) >= 30
+    for f in files:
+        cfg = jsonnet.evaluate_file(f)
+        assert "make_env" in cfg, f
+        assert cfg["make_env"]["function"].endswith(":make_env"), f
+
+
+def test_jsonnet_semantics():
+    out = jsonnet.evaluate_snippet(
+        "local a = 2; { x:: a * 3, y: $.x + 1, z+: [1], "
+        "[if a == 2 then 'w']: 'yes' } + { z+: [2] }"
+    )
+    assert out == {"y": 7, "z": [1, 2], "w": "yes"}
+
+
+@pytest.fixture(scope="module")
+def ball_capture():
+    return load_env(f"{CONFIG_DIR}/ball_capture.jsonnet", **FAST)
+
+
+def test_holdout_loads_and_steps(ball_capture):
+    env = ball_capture
+    assert env.num_objects == 6      # 2 cyl + 2 cyl + 2 balls
+    state, obs = jax.jit(env.reset)(jax.random.key(0))
+    # initial object poses come from the saved npz state
+    np.testing.assert_allclose(
+        np.asarray(obs["obj_pos"]), env._initial_state["obj_pos"], atol=1e-5
+    )
+    # goal poses come from the saved goal npz
+    np.testing.assert_allclose(
+        np.asarray(state.goal["obj_pos"]),
+        env._goal_states[0]["obj_pos"], atol=1e-5,
+    )
+    state, obs, reward, done, info = jax.jit(env.step)(
+        state, jnp.zeros(env.action_size)
+    )
+    assert bool(jnp.isfinite(state.physics.qpos).all())
+
+
+def test_holdout_stability_regression(ball_capture):
+    """Saved initial states must be physically stable: stepping with zero
+    action keeps every object within tolerance of its saved pose
+    (test_stability.py:215-260; tolerance matches its 0.01 m bar)."""
+    env = ball_capture
+    state, obs = jax.jit(env.reset)(jax.random.key(1))
+    step = jax.jit(env.step)
+    for _ in range(10):
+        state, obs, reward, done, info = step(
+            state, jnp.zeros(env.action_size)
+        )
+    drift = np.abs(
+        np.asarray(obs["obj_pos"]) - env._initial_state["obj_pos"]
+    ).max()
+    assert drift < 0.01, f"objects drifted {drift:.4f} m"
+    assert not bool(info["env_crash"])
+
+
+def test_second_holdout_family():
+    """A structurally different config (jenga tower) also loads + steps."""
+    env = load_env(f"{CONFIG_DIR}/jenga/stack6.jsonnet", **FAST)
+    assert env.num_objects >= 6
+    state, obs = jax.jit(env.reset)(jax.random.key(0))
+    state, obs, reward, done, info = jax.jit(env.step)(
+        state, jnp.zeros(env.action_size)
+    )
+    assert bool(jnp.isfinite(state.physics.qpos).all())

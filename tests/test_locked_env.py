@@ -152,3 +152,24 @@ def test_vmap_batch(env):
     assert bool(jnp.isfinite(obs["qpos"]).all())
     # batch members differ (independent RNG streams)
     assert not np.allclose(np.asarray(obs["cube_quat"][0]), np.asarray(obs["cube_quat"][1]))
+
+
+def test_locked_dummy_vision_provider():
+    """The vision-flagged locked variant routes through the observation
+    provider framework: zero-image `vision`/`vision_goal` keys with RESET_
+    GOAL staging (reference observation/dummy_vision.py:11-53 default)."""
+    from robogym_tpu.envs.dactyl.locked import make_env
+
+    env = make_env(dict(
+        mujoco_substeps=2, n_random_initial_steps=0, reset_initial_steps=1,
+        max_pose_resets=1, vision_observation_provider="dummy_vision",
+        vision_image_size=16,
+    ), dtype=jnp.float64)
+    state, obs = jax.jit(env.reset)(jax.random.key(0))
+    assert obs["vision"].shape == (3, 16, 16, 3)
+    assert obs["vision_goal"].shape == (3, 16, 16, 3)
+    assert not np.any(np.asarray(obs["vision"]))
+    state, obs, reward, done, info = jax.jit(env.step)(
+        state, jnp.zeros(env.action_size)
+    )
+    assert obs["vision"].shape == (3, 16, 16, 3)

@@ -38,6 +38,19 @@ def test_sharded_rollout(env):
     assert bool(jnp.isfinite(state_b.physics.qpos).all())
 
 
+def test_shardmap_rollout_pmean_metrics(env):
+    """Explicit shard_map path: metrics are pmean-reduced over dp and must be
+    finite/identical across shards (collective correctness)."""
+    mesh = mesh_lib.make_mesh(8, tp=1)
+    B = 16
+    state_b, _ = rollout_lib.sharded_reset(env, mesh, B, jax.random.key(2))
+    fn = rollout_lib.make_shardmap_rollout_fn(env, mesh, n_steps=3)
+    state_b, metrics = fn(state_b, jax.random.key(3))
+    assert np.isfinite(float(metrics["reward_mean"]))
+    assert 0.0 <= float(metrics["done_frac"]) <= 1.0
+    assert bool(jnp.isfinite(state_b.physics.qpos).all())
+
+
 def test_sharded_matches_unsharded(env):
     """dp sharding must not change results: same keys, same trajectory."""
     B = 8

@@ -123,3 +123,85 @@ def test_scramble_preserves_permutation(full_env):
     pos = np.einsum("cij,cj->ci", mats, full_env.cubelets.coords)
     pos_set = {tuple(np.round(p).astype(int)) for p in pos}
     assert len(pos_set) == 20
+
+
+# ---- goal_generation switch parity (full_perpendicular.py:201-267) --------
+
+
+def _mk_full(goal_generation, extra=None):
+    from robogym_tpu.envs.dactyl.full_perpendicular import make_env
+
+    return make_env(
+        dict(SMALL, num_scramble_steps=4, goal_generation=goal_generation,
+             **(extra or {})),
+        dtype=jnp.float64,
+    )
+
+
+@pytest.mark.parametrize("mode", [
+    "face_curr", "face_free", "full_unconstrained",
+    "face_cube_solver", "unconstrained_cube_solver",
+    "release_cube_solver", "fixed_fair_scramble",
+])
+def test_all_goal_generation_modes_construct_and_step(mode):
+    """All 7 reference goal_generation values construct, reset, and step
+    (reference build_goal_generation switch)."""
+    env = _mk_full(mode)
+    state, obs = jax.jit(env.reset)(jax.random.key(0))
+    assert set(state.goal.keys()) >= {
+        "cube_quat", "cube_face_angle", "goal_type", "axis_nr", "axis_sign",
+    }
+    state, obs, reward, done, info = jax.jit(env.step)(state, jnp.zeros(20))
+    assert bool(jnp.isfinite(reward).all())
+    if mode in ("face_cube_solver", "unconstrained_cube_solver",
+                "release_cube_solver"):
+        # host-hop contract: plan not attached -> flagged, not silent
+        assert bool(info["solver_plan_empty"])
+    if mode == "fixed_fair_scramble":
+        assert not bool(info["solver_plan_empty"])
+        # plan is the fixed fair scramble (18 moves, 8 half-turns split)
+        plan, length, _ = state.goal_aux
+        assert int(length) == 26
+
+
+def test_full_unconstrained_no_orientation_objective():
+    """full_unconstrained: quat distance is identically zero
+    (goals/full_unconstrained.py: no orientation objective)."""
+    env = _mk_full("full_unconstrained")
+    state, _ = jax.jit(env.reset)(jax.random.key(1))
+    dist = env._goal_distance(state.goal, state.physics)
+    assert float(dist["cube_quat"]) == 0.0
+
+
+def test_face_free_rotation_distance_ignores_z():
+    """face_free rotation goals measure only target-face-up distance: a pure
+    z rotation of the cube leaves the distance unchanged
+    (cube_utils.distance_quat_from_being_up)."""
+    from robogym_tpu.envs.dactyl import cube_env
+
+    q = rot.quat_from_angle_and_axis(
+        jnp.asarray(0.3), jnp.asarray([1.0, 0.0, 0.0])
+    )
+    axis_nr, sign = cube_env.up_axis_with_sign(q)
+    d0 = rot.quat_magnitude(cube_env.distance_quat_from_being_up(q, axis_nr, sign))
+    zrot = rot.quat_from_angle_and_axis(
+        jnp.asarray(1.1), jnp.asarray([0.0, 0.0, 1.0])
+    )
+    q2 = rot.quat_mul(zrot, q)
+    d1 = rot.quat_magnitude(cube_env.distance_quat_from_being_up(q2, axis_nr, sign))
+    np.testing.assert_allclose(float(d0), float(d1), atol=1e-6)
+
+
+def test_solver_host_hop_attaches_plan(full_env):
+    """goals_solver.solve_and_attach fills a real plan for a scrambled cube
+    and the env then reports solver_plan_empty=False."""
+    from robogym_tpu.envs.dactyl import goals_solver
+
+    env = _mk_full("face_cube_solver")
+    state, _ = jax.jit(env.reset)(jax.random.key(5))
+    state = goals_solver.solve_and_attach(env, state)
+    plan, length, step = state.goal_aux
+    assert int(length) > 0
+    state, obs, reward, done, info = jax.jit(env.step)(state, jnp.zeros(20))
+    assert not bool(info["solver_plan_empty"])
+    assert int(info["solver_plan_step"]) == 0
