@@ -206,6 +206,7 @@ class LockedEnv(cube_env.CubeEnvBase):
             tracker=tracker,
             key=key,
             t=state.t + 1,
+            model_fields=state.model_fields,
         )
         reward = jnp.stack(
             [env_reward,

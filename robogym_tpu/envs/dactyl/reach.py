@@ -229,6 +229,7 @@ class ReachEnv:
             tracker=tracker,
             key=key,
             t=state.t + 1,
+            model_fields=state.model_fields,
         )
         reward = jnp.stack(
             [jnp.zeros((), self.dtype),

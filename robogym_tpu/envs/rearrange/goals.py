@@ -315,6 +315,92 @@ class ObjectStackGoal(ObjectStateGoal):
         return dict(goal, obj_pos=pos)
 
 
+class ObjectFixedStateGoal(ObjectStateGoal):
+    """Goals at FIXED relative placements inside the placement area with
+    fixed orientations (goals/object_state_fixed.py, used by table_setting
+    and wordblocks). `relative_placements` are (O, 2) fractions of the
+    placement area (x, y)."""
+
+    def __init__(self, idx, args=None, relative_placements=None,
+                 init_quats=None, dtype=jnp.float32, **kw):
+        super().__init__(idx, args or GoalArgs(), dtype=dtype, **kw)
+        O = idx.max_num_objects
+        if relative_placements is None:
+            relative_placements = np.tile(
+                np.asarray([[0.5, 0.5]]), (O, 1)
+            )
+        if init_quats is None:
+            init_quats = np.tile(np.asarray([[1.0, 0, 0, 0]]), (O, 1))
+        self.relative_placements = jnp.asarray(relative_placements, dtype)
+        self.init_quats = jnp.asarray(init_quats, dtype)
+
+    def next_goal(self, key, active_mask, object_size, num_objects_used, d):
+        lo, hi = self.idx.placement_bounds(num_objects_used,
+                                           self.used_table_portion)
+        _, _, table_h = self.idx.table_dimensions()
+        lo = jnp.asarray(lo, self.dtype)
+        hi = jnp.asarray(hi, self.dtype)
+        frac = self.relative_placements
+        xy = lo[None, :2] + frac * (hi[None, :2] - lo[None, :2])
+        z = jnp.asarray(table_h, self.dtype) + object_size[:, 2].astype(
+            self.dtype
+        )
+        pos = jnp.concatenate([xy, z[:, None]], axis=1)
+        park = jnp.asarray(sim_lib.PARK_POSITION, self.dtype)
+        pos = jnp.where(active_mask[:, None], pos, park[None, :])
+        return {
+            "obj_pos": pos,
+            "obj_rot": self.init_quats,
+            "goal_valid": jnp.ones((), bool),
+        }
+
+
+class DominoStateGoal(ObjectStateGoal):
+    """Dominos-in-an-arc goal (goals/dominos.py DominoStateGoal): the
+    dominos stand along a circular arc with tangential orientation; the arc
+    is randomly placed/oriented inside the placement area (the reference's
+    fit-and-retry becomes a conservative arc radius that always fits)."""
+
+    def next_goal(self, key, active_mask, object_size, num_objects_used, d):
+        O = self.idx.max_num_objects
+        k_ang, k_off = jax.random.split(key)
+        lo, hi = self.idx.placement_bounds(num_objects_used,
+                                           self.used_table_portion)
+        _, _, table_h = self.idx.table_dimensions()
+        lo = jnp.asarray(lo, self.dtype)
+        hi = jnp.asarray(hi, self.dtype)
+        center = (lo[:2] + hi[:2]) / 2.0
+        span = jnp.minimum(hi[0] - lo[0], hi[1] - lo[1])
+        radius = span * 0.35
+        base = jax.random.uniform(k_ang, (), self.dtype, 0.0, 2 * jnp.pi)
+        # spacing: domino width * distance proportion along the arc
+        # (simulation/dominos.py:20-24)
+        spacing = 2.5 * jnp.max(object_size[:, 0]).astype(self.dtype)
+        dtheta = spacing / radius
+        thetas = base + jnp.arange(O, dtype=self.dtype) * dtheta
+        xy = center[None, :] + radius * jnp.stack(
+            [jnp.cos(thetas), jnp.sin(thetas)], axis=1
+        )
+        jitter = jax.random.uniform(k_off, (2,), self.dtype, -0.02, 0.02)
+        xy = xy + jitter[None, :]
+        z = jnp.asarray(table_h, self.dtype) + object_size[:, 2].astype(
+            self.dtype
+        )
+        pos = jnp.concatenate([xy, z[:, None]], axis=1)
+        park = jnp.asarray(sim_lib.PARK_POSITION, self.dtype)
+        pos = jnp.where(active_mask[:, None], pos, park[None, :])
+        # tangential orientation: rotate each domino to face along the arc
+        quats = jax.vmap(
+            lambda t: rot.quat_from_angle_and_axis(
+                t + jnp.pi / 2, jnp.asarray([0.0, 0.0, 1.0], self.dtype)
+            )
+        )(thetas)
+        return {
+            "obj_pos": pos, "obj_rot": quats.astype(self.dtype),
+            "goal_valid": jnp.ones((), bool),
+        }
+
+
 class DeterministicReachGoal(ObjectReachGoal):
     """Reach goal with a fixed pool of target positions
     (goals/object_reach_goal.py:56-81). The reference alternates an internal

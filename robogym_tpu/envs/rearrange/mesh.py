@@ -182,10 +182,14 @@ class MeshRearrangeEnv(blocks_lib.BlocksRearrangeEnv):
         constants: Optional[MeshRearrangeEnvConstants] = None,
         parameters: Optional[blocks_lib.RearrangeEnvParameters] = None,
         mesh_names: Optional[List[str]] = None,
+        mesh_files_by_name: Optional[Dict[str, List[str]]] = None,
         dtype=jnp.float32,
     ):
         constants = constants or MeshRearrangeEnvConstants()
-        all_files = find_meshes_by_dirname(self.MESH_ROOT_DIRNAME)
+        if mesh_files_by_name is not None:
+            all_files = dict(mesh_files_by_name)
+        else:
+            all_files = find_meshes_by_dirname(self.MESH_ROOT_DIRNAME)
         if mesh_names is not None:
             all_files = {k: v for k, v in all_files.items() if k in mesh_names}
         assert all_files, f"no meshes for {mesh_names}"

@@ -92,3 +92,95 @@ def test_train_goal_distance_ratio():
     cur = np.asarray(obs["obj_pos"])[: env.num_objects]
     gp = np.asarray(state.goal["obj_pos"])[: env.num_objects]
     np.testing.assert_allclose(cur, gp, atol=1e-5)
+
+
+@pytest.mark.parametrize("flavor", [
+    "table_setting", "dominos", "wordblocks", "chessboard",
+])
+def test_rearrange_flavor_smoke_round2(flavor):
+    mod = importlib.import_module(f"robogym_tpu.envs.rearrange.{flavor}")
+    par = dict(SMALL_PAR)
+    if flavor in ("table_setting", "wordblocks", "chessboard"):
+        par = dict(par)
+        par.pop("simulation_params", None)  # these fix their own slot counts
+    env = mod.make_env(dict(SMALL_CST), par)
+    state, obs = jax.jit(env.reset)(jax.random.key(0))
+    step = jax.jit(env.step)
+    state, obs, reward, done, info = step(state, jnp.zeros(env.action_size))
+    assert bool(jnp.isfinite(state.physics.qpos).all()), flavor
+    assert np.isfinite(np.asarray(reward)).all()
+
+
+def test_mixture_dataset_sampling():
+    """Mixture env: candidate pool spans multiple object datasets and the
+    envstate-dataset mixture drives per-reset mesh selection
+    (reference mixture.py:17-60 + datasets/)."""
+    from robogym_tpu.envs.rearrange import mixture
+
+    obj_cfg = {
+        "ycb": {
+            "function":
+                "robogym.envs.rearrange.datasets.objects.local_mesh:create",
+            "args": {"mesh_dirname": "ycb"},
+        },
+    }
+    ds_cfg = {
+        "ycb_dataset": {
+            "function":
+                "robogym.envs.rearrange.datasets.envstates.random:create",
+            "args": {"object_sample_prob": {"ycb": 1.0}},
+        },
+    }
+    env = mixture.make_env(
+        dict(SMALL_CST, object_config=obj_cfg, dataset_config=ds_cfg,
+             dataset_sampling_config={"ycb_dataset": 1.0}),
+        dict(SMALL_PAR),
+    )
+    assert env.bank.num_candidates > 10  # the whole ycb pool
+    state, obs = jax.jit(env.reset)(jax.random.key(0))
+    assert "mesh_convex_vert" in state.model_fields
+    state, obs, reward, done, info = jax.jit(env.step)(
+        state, jnp.zeros(env.action_size)
+    )
+    assert bool(jnp.isfinite(state.physics.qpos).all())
+
+
+def test_table_setting_fixed_goal():
+    from robogym_tpu.envs.rearrange import table_setting
+
+    env = table_setting.make_env(dict(SMALL_CST), dict(
+        robot_control_params=SMALL_PAR["robot_control_params"]))
+    s1, _ = jax.jit(env.reset)(jax.random.key(0))
+    s2, _ = jax.jit(env.reset)(jax.random.key(9))
+    # fixed-state goals: identical across resets
+    np.testing.assert_allclose(
+        np.asarray(s1.goal["obj_pos"]), np.asarray(s2.goal["obj_pos"]),
+        atol=1e-6,
+    )
+
+
+def test_dominos_arc_goal():
+    from robogym_tpu.envs.rearrange import dominos
+
+    env = dominos.make_env(
+        dict(SMALL_CST, is_holdout=True),
+        dict(SMALL_PAR, simulation_params=dict(num_objects=4,
+                                               max_num_objects=4)),
+    )
+    state, _ = jax.jit(env.reset)(jax.random.key(1))
+    gp = np.asarray(state.goal["obj_pos"])[:4]
+    gq = np.asarray(state.goal["obj_rot"])[:4]
+    # arc invariants: consecutive dominos uniformly spaced...
+    seg = np.linalg.norm(np.diff(gp[:, :2], axis=0), axis=1)
+    assert seg.std() / seg.mean() < 0.05, seg
+    # ...with uniform heading increments (tangential orientation)
+    from robogym_tpu.utils import rotation as rot
+    import jax.numpy as jnp
+
+    dq = [
+        float(rot.quat_magnitude(rot.quat_normalize(rot.quat_difference(
+            jnp.asarray(gq[i + 1]), jnp.asarray(gq[i])
+        ))))
+        for i in range(3)
+    ]
+    assert np.std(dq) < 0.05 and np.mean(dq) > 0.01, dq
