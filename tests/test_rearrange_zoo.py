@@ -184,3 +184,28 @@ def test_dominos_arc_goal():
         for i in range(3)
     ]
     assert np.std(dq) < 0.05 and np.mean(dq) > 0.01, dq
+
+
+def test_blocks_attached_goal_pattern():
+    """Attached-blocks goal: every block's goal touches at least one other
+    block (2*size spacing on a grid — goals/attached_block_state.py)."""
+    from robogym_tpu.envs.rearrange import blocks_attached
+
+    env = blocks_attached.make_env(
+        dict(SMALL_CST),
+        dict(SMALL_PAR, simulation_params=dict(num_objects=4,
+                                               max_num_objects=4)),
+    )
+    state, _ = jax.jit(env.reset)(jax.random.key(0))
+    gp = np.asarray(state.goal["obj_pos"])[:4]
+    size = 0.0254
+    # pairwise min distance == 2*size (attached), on a grid
+    dmin = min(
+        np.linalg.norm(gp[i, :2] - gp[j, :2])
+        for i in range(4) for j in range(i + 1, 4)
+    )
+    assert abs(dmin - 2 * size) < 1e-5, dmin
+    state, obs, reward, done, info = jax.jit(env.step)(
+        state, jnp.zeros(env.action_size)
+    )
+    assert bool(jnp.isfinite(state.physics.qpos).all())
