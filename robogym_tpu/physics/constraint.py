@@ -516,6 +516,136 @@ def solve(m: Model, d: Data, qfrc_smooth: jax.Array, Minv: jax.Array = None) -> 
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _make_cg_core(kind_key: bytes, iterations: int):
+    """CG solve core for a static row-kind layout.
+
+    Wrapped in `jax.custom_batching.custom_vmap`: the single-env path is the
+    reference pure-JAX scan; under vmap on TPU the whole batch dispatches to
+    the fused Pallas kernel (physics/cg_kernel.py) that runs the iteration
+    loop in VMEM with the env batch in the lane dimension — removing the
+    ~20-dependent-small-ops-per-iteration dispatch latency that dominated
+    the constraint phase (PROFILE.md)."""
+    from jax import custom_batching
+
+    kind = np.frombuffer(kind_key, np.int32)
+    # keep masks as NUMPY here: the factory result is lru-cached across jit
+    # traces, so any jnp array created at build time would leak between
+    # traces — materialize constants inside the traced functions instead
+    is_eq_np = kind == EQ
+    is_one_np = kind == ONESIDED
+    is_fric_np = kind == FRICTION
+    alphas_np = [2.0, 1.0, 0.5, 0.25, 0.12, 0.06, 0.03, 0.015, 0.005, 0.0]
+
+    def scan_solve(J, aref, D, floss, M, Minv, qs, x0):
+        dtype = J.dtype
+        is_eq = jnp.asarray(is_eq_np)
+        is_one = jnp.asarray(is_one_np)
+        is_fric = jnp.asarray(is_fric_np)
+
+        def force(jar):
+            quad_active = is_eq | (is_one & (jar < 0))
+            f_quad = D * jar * quad_active
+            f_fric = jnp.clip(D * jar, -floss, floss) * is_fric
+            return f_quad + f_fric
+
+        def penalty_cost(jar):
+            quad_active = is_eq | (is_one & (jar < 0))
+            c_quad = 0.5 * D * jar * jar * quad_active
+            absDjar = jnp.abs(D * jar)
+            inside = absDjar < floss
+            c_fric = (
+                jnp.where(
+                    inside,
+                    0.5 * D * jar * jar,
+                    floss * jnp.abs(jar)
+                    - 0.5 * floss * floss / jnp.maximum(D, 1e-12),
+                )
+                * is_fric
+            )
+            return jnp.sum(c_quad + c_fric)
+
+        def grad(x, jar):
+            return M @ (x - qs) + J.T @ force(jar)
+
+        jar0 = J @ x0 - aref
+        g0 = grad(x0, jar0)
+        Mg0 = Minv @ g0
+        p0 = -Mg0
+        alphas = jnp.asarray(alphas_np, dtype)
+
+        def body(carry, _):
+            x, jar, g, Mg, p = carry
+            Jp = J @ p
+            # line search: the smooth term is an exact quadratic in the
+            # step size — coefficients computed ONCE per iteration
+            dx0 = x - qs
+            Mp = M @ p
+            c0 = dx0 @ (M @ dx0)
+            c1 = dx0 @ Mp
+            c2 = p @ Mp
+            costs = jax.vmap(
+                lambda a: 0.5 * (c0 + 2.0 * a * c1 + a * a * c2)
+                + penalty_cost(jar + a * Jp)
+            )(alphas)
+            a = alphas[jnp.argmin(costs)]
+            x = x + a * p
+            jar = jar + a * Jp
+            g_new = grad(x, jar)
+            Mg_new = Minv @ g_new
+            # Polak-Ribiere+ with automatic restart
+            num = jnp.dot(g_new, Mg_new - Mg)
+            den = jnp.maximum(jnp.dot(g, Mg), 1e-12)
+            beta = jnp.maximum(num / den, 0.0)
+            p = -Mg_new + beta * p
+            return (x, jar, g_new, Mg_new, p), ()
+
+        (x, jar, _, _, _), _ = jax.lax.scan(
+            body, (x0, jar0, g0, Mg0, p0), None, length=iterations,
+        )
+        return x, -force(jar)
+
+    @custom_batching.custom_vmap
+    def core(J, aref, D, floss, M, Minv, qs, x0):
+        return scan_solve(J, aref, D, floss, M, Minv, qs, x0)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, J, aref, D, floss, M, Minv, qs, x0):
+        del axis_size
+        import os
+
+        backend = jax.default_backend()
+        # EXPERIMENTAL opt-in: the fused Pallas kernel currently stalls the
+        # Mosaic compiler in this container (see cg_kernel.py docstring), so
+        # the default stays on the XLA scan path until that is resolved.
+        use_pallas = (
+            all(in_batched)
+            and backend not in ("cpu", "gpu")
+            and bool(os.environ.get("ROBOGYM_TPU_PALLAS_CG"))
+        )
+        if use_pallas:
+            from robogym_tpu.physics import cg_kernel
+
+            x, f = cg_kernel.solve_cg_batched(
+                kind, iterations, J, aref, D, floss, M, Minv, qs, x0
+            )
+            x = x.astype(J.dtype)
+            f = f.astype(J.dtype)
+        else:
+            # non-TPU or partially-batched: fall back to the mapped scan
+            mapped = jax.vmap(
+                scan_solve,
+                in_axes=tuple(0 if b else None for b in in_batched),
+            )
+            x, f = mapped(J, aref, D, floss, M, Minv, qs, x0)
+        return (x, f), (True, True)
+
+    return core
+
+
 def _solve_cg(m: Model, d: Data, efc, is_eq, is_one, is_fric, Minv) -> Data:
     """Preconditioned nonlinear CG on the same primal objective.
 
@@ -524,7 +654,8 @@ def _solve_cg(m: Model, d: Data, efc, is_eq, is_one, is_fric, Minv) -> Data:
     (nefc, nv) matvecs: the explicit M^-1 (computed once per substep) is the
     preconditioner, each iteration costs ~3 matvecs + a candidate line search
     that reuses J@p (MuJoCo's mjSOL_CG is the same construction). Warmstarted
-    from the previous substep's qacc (mj_warmstart analogue).
+    from the previous substep's qacc (mj_warmstart analogue). Under vmap on
+    TPU the loop runs in the fused Pallas kernel (see _make_cg_core).
     """
     J, aref, D, floss, kind = (
         efc["J"], efc["aref"], efc["D"], efc["floss"], efc["kind"]
@@ -532,74 +663,12 @@ def _solve_cg(m: Model, d: Data, efc, is_eq, is_one, is_fric, Minv) -> Data:
     dtype = d.qpos.dtype
     M = d.qM
 
-    def force(jar):
-        quad_active = is_eq | (is_one & (jar < 0))
-        f_quad = D * jar * quad_active
-        f_fric = jnp.clip(D * jar, -floss, floss) * is_fric
-        return f_quad + f_fric
-
-    def penalty_cost(jar):
-        quad_active = is_eq | (is_one & (jar < 0))
-        c_quad = 0.5 * D * jar * jar * quad_active
-        absDjar = jnp.abs(D * jar)
-        inside = absDjar < floss
-        c_fric = (
-            jnp.where(
-                inside,
-                0.5 * D * jar * jar,
-                floss * jnp.abs(jar)
-                - 0.5 * floss * floss / jnp.maximum(D, 1e-12),
-            )
-            * is_fric
-        )
-        return jnp.sum(c_quad + c_fric)
-
-    def grad(x, jar):
-        return M @ (x - d.qacc_smooth) + J.T @ force(jar)
-
     # warmstart from the previous substep's qacc (zero right after reset)
     x0 = jnp.where(jnp.isfinite(d.qacc).all(), d.qacc, d.qacc_smooth)
-    jar0 = J @ x0 - aref
-    g0 = grad(x0, jar0)
-    Mg0 = Minv @ g0
-    p0 = -Mg0
-
-    alphas = jnp.asarray(
-        [2.0, 1.0, 0.5, 0.25, 0.12, 0.06, 0.03, 0.015, 0.005, 0.0], dtype
+    core = _make_cg_core(
+        np.asarray(kind, np.int32).tobytes(), int(m.opt.iterations)
     )
-
-    def body(carry, _):
-        x, jar, g, Mg, p = carry
-        Jp = J @ p
-        # line search: the smooth term is an exact quadratic in the step
-        # size — its coefficients (c0 + 2a c1 + a^2 c2) are computed ONCE
-        # per iteration instead of an (nv,nv) matvec per candidate
-        dx0 = x - d.qacc_smooth
-        Mp = M @ p
-        c0 = dx0 @ (M @ dx0)
-        c1 = dx0 @ Mp
-        c2 = p @ Mp
-        costs = jax.vmap(
-            lambda a: 0.5 * (c0 + 2.0 * a * c1 + a * a * c2)
-            + penalty_cost(jar + a * Jp)
-        )(alphas)
-        a = alphas[jnp.argmin(costs)]
-        x = x + a * p
-        jar = jar + a * Jp
-        g_new = grad(x, jar)
-        Mg_new = Minv @ g_new
-        # Polak-Ribiere+ with automatic restart
-        num = jnp.dot(g_new, Mg_new - Mg)
-        den = jnp.maximum(jnp.dot(g, Mg), 1e-12)
-        beta = jnp.maximum(num / den, 0.0)
-        p = -Mg_new + beta * p
-        return (x, jar, g_new, Mg_new, p), ()
-
-    (x, jar, _, _, _), _ = jax.lax.scan(
-        body, (x0, jar0, g0, Mg0, p0), None, length=m.opt.iterations
-    )
-
-    f = -force(jar)
+    x, f = core(J, aref, D, floss, M, Minv, d.qacc_smooth, x0)
     qfrc_constraint = J.T @ f
 
     ncon = efc["ncon"]
