@@ -458,7 +458,7 @@ class Data(_Replaceable):
 
     # derived: dynamics
     qM: jax.Array          # (nv, nv) dense mass matrix
-    qLD: jax.Array         # (nv, nv) cholesky factor of qM
+    qLD: jax.Array         # (nv, nv) placeholder (hot path uses explicit M^-1)
     qfrc_bias: jax.Array   # (nv,)
     qfrc_passive: jax.Array  # (nv,)
     qfrc_actuator: jax.Array  # (nv,)

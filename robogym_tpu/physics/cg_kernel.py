@@ -1,22 +1,22 @@
-"""Fused Pallas kernel for the constraint CG solve (TPU) — EXPERIMENTAL.
-
-STATUS: opt-in via ROBOGYM_TPU_PALLAS_CG=1 and NOT enabled by default.
-On this container's toolchain the Mosaic compile of the fused loop stalls
-(>10 min for a toy shape); until that is resolved the production path is
-the XLA scan in constraint._make_cg_core. The kernel body mirrors that
-scan's math exactly; tests/parity scripts exercise the scan path.
+"""Fused Pallas kernel for the constraint CG solve (TPU).
 
 Motivation (PROFILE.md): the nonlinear-CG solve is the per-substep latency
-hill — ~20 sequential iterations of ~20 small dependent XLA ops each. This
-kernel runs the WHOLE iteration loop inside one Pallas program per 128-env
-lane tile, with every operand resident in VMEM and the env batch in the
-lane dimension — per-iteration cost becomes VPU cycles instead of kernel
-dispatches.
+hill — ~20 sequential iterations of ~20 small dependent XLA ops each, with
+per-env matvecs that lower to pathological micro-GEMMs. This kernel runs
+the WHOLE iteration loop inside one Pallas program per 128-env lane tile,
+with every operand resident in VMEM and the env batch in the lane
+dimension — per-iteration cost becomes VPU cycles instead of kernel
+dispatches, and J is read from HBM exactly once.
 
-Layouts (feature-major, batch minor):
-    J      (nefc, nv, B)    per-env constraint Jacobian
-    M/Minv (nv, nv, B)      mass matrix and its inverse
-    vectors (nefc|nv, B)
+Layouts (feature-major, batch minor; all feature dims padded to 8):
+    J      (E, V, L)    per-env constraint Jacobian, E=nefc_pad, V=nv_pad
+    M/Minv (V, V, L)    mass matrix and its inverse
+    vectors (E|V, L)
+Matvecs are REAL axis reductions over the 3D tiles
+(`sum(J * x[None], axis=1)` / `sum(J * f[:, None], axis=0)`) — an earlier
+revision unrolled per-dof slices in Python, which traced thousands of
+strided ops and stalled the Mosaic compiler.
+
 The static row-kind masks are folded into the regularization inputs
 (Deq = D*is_eq, Done = D*is_one, Dfr = D*is_fric) so the kernel body is
 mask-free: Pallas kernels may not capture array constants.
@@ -24,6 +24,7 @@ mask-free: Pallas kernels may not capture array constants.
 Integration: `constraint._make_cg_core` wraps this in
 `jax.custom_batching.custom_vmap` — unbatched (and non-TPU) calls run the
 reference pure-JAX scan; batched TPU calls dispatch here. Same math, f32.
+Set ROBOGYM_TPU_NO_PALLAS_CG=1 to force the XLA scan path.
 """
 
 from __future__ import annotations
@@ -39,46 +40,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 
+# must match constraint._make_cg_core's alphas (first-min tie-break too)
 ALPHAS = (2.0, 1.0, 0.5, 0.25, 0.12, 0.06, 0.03, 0.015, 0.005, 0.0)
 
-
-def _matvec_J(J, x, nv):
-    """(nefc, nv, L) x (nv, L) -> (nefc, L): sum_v J[:, v, :] * x[v]."""
-    acc = J[:, 0, :] * x[0, :][None, :]
-    for v in range(1, nv):
-        acc = acc + J[:, v, :] * x[v, :][None, :]
-    return acc
+# interpret-mode switch for CPU correctness tests
+INTERPRET = False
 
 
-def _matvec_M(M, x, nv):
-    """(nv, nv, L) x (nv, L) -> (nv, L)."""
-    acc = M[:, 0, :] * x[0, :][None, :]
-    for v in range(1, nv):
-        acc = acc + M[:, v, :] * x[v, :][None, :]
-    return acc
-
-
-def _matvec_JT(J, f, nv):
-    """(nefc, nv, L)^T x (nefc, L) -> (nv, L): g[v] = sum_e J[e, v, :]*f[e]."""
-    outs = []
-    for v in range(nv):
-        outs.append(jnp.sum(J[:, v, :] * f, axis=0, keepdims=True))
-    return jnp.concatenate(outs, axis=0)
-
-
-def _cg_kernel(iterations, nv, nefc,
+def _cg_kernel(iterations,
                J_ref, aref_ref, Deq_ref, Done_ref, Dfr_ref, floss_ref,
                M_ref, Minv_ref, qs_ref, x0_ref, x_out, f_out):
-    J = J_ref[:]
-    aref = aref_ref[:]
+    J = J_ref[:]          # (E, V, L)
+    aref = aref_ref[:]    # (E, L)
     Deq = Deq_ref[:]
     Done = Done_ref[:]
     Dfr = Dfr_ref[:]
     floss = floss_ref[:]
-    M = M_ref[:]
+    M = M_ref[:]          # (V, V, L)
     Minv = Minv_ref[:]
-    qs = qs_ref[:]
+    qs = qs_ref[:]        # (V, L)
     x0 = x0_ref[:]
+
+    def mv_J(x):  # (V, L) -> (E, L)
+        return jnp.sum(J * x[None, :, :], axis=1)
+
+    def mv_JT(f):  # (E, L) -> (V, L)
+        return jnp.sum(J * f[:, None, :], axis=0)
+
+    def mv_M(A, x):  # (V, V, L) x (V, L) -> (V, L)
+        return jnp.sum(A * x[None, :, :], axis=1)
 
     def force(jar):
         # Deq/Done/Dfr are D pre-masked by row kind; floss is zero on
@@ -88,7 +78,7 @@ def _cg_kernel(iterations, nv, nefc,
             Dfr * jar, -floss, floss
         )
 
-    def penalty(jar):
+    def penalty(jar):  # (E, L) -> (1, L)
         neg = (jar < 0).astype(jar.dtype)
         c_quad = 0.5 * (Deq + Done * neg) * jar * jar
         absDjar = jnp.abs(Dfr * jar)
@@ -102,20 +92,20 @@ def _cg_kernel(iterations, nv, nefc,
         return jnp.sum(c_quad + c_fric, axis=0, keepdims=True)
 
     def grad(x, jar):
-        return _matvec_M(M, x - qs, nv) + _matvec_JT(J, force(jar), nv)
+        return mv_M(M, x - qs) + mv_JT(force(jar))
 
-    jar0 = _matvec_J(J, x0, nv) - aref
+    jar0 = mv_J(x0) - aref
     g0 = grad(x0, jar0)
-    Mg0 = _matvec_M(Minv, g0, nv)
+    Mg0 = mv_M(Minv, g0)
     p0 = -Mg0
 
     def body(_, carry):
         x, jar, g, Mg, p = carry
-        Jp = _matvec_J(J, p, nv)
+        Jp = mv_J(p)
         dx0 = x - qs
-        Mp = _matvec_M(M, p, nv)
-        Mdx0 = _matvec_M(M, dx0, nv)
-        c0 = jnp.sum(dx0 * Mdx0, axis=0, keepdims=True)
+        Mp = mv_M(M, p)
+        Mdx0 = mv_M(M, dx0)
+        c0 = jnp.sum(dx0 * Mdx0, axis=0, keepdims=True)  # (1, L)
         c1 = jnp.sum(dx0 * Mp, axis=0, keepdims=True)
         c2 = jnp.sum(p * Mp, axis=0, keepdims=True)
 
@@ -132,7 +122,8 @@ def _cg_kernel(iterations, nv, nefc,
         x = x + best_a * p
         jar = jar + best_a * Jp
         g_new = grad(x, jar)
-        Mg_new = _matvec_M(Minv, g_new, nv)
+        Mg_new = mv_M(Minv, g_new)
+        # Polak-Ribiere+ with automatic restart
         num = jnp.sum(g_new * (Mg_new - Mg), axis=0, keepdims=True)
         den = jnp.maximum(jnp.sum(g * Mg, axis=0, keepdims=True), 1e-12)
         beta = jnp.maximum(num / den, 0.0)
@@ -148,7 +139,7 @@ def _cg_kernel(iterations, nv, nefc,
 
 @functools.lru_cache(maxsize=32)
 def _build_call(iterations: int, nv: int, nefc: int):
-    kernel = functools.partial(_cg_kernel, iterations, nv, nefc)
+    kernel = functools.partial(_cg_kernel, iterations)
 
     def spec3(d0, d1):
         return pl.BlockSpec((d0, d1, LANE), lambda i: (0, 0, i),
@@ -174,9 +165,19 @@ def _build_call(iterations: int, nv: int, nefc: int):
                 jax.ShapeDtypeStruct((nv, B), jnp.float32),
                 jax.ShapeDtypeStruct((nefc, B), jnp.float32),
             ],
+            # the J tile + reduction temporaries exceed the 16MB default
+            # scoped-vmem budget; v5e has 128MB physical VMEM
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=INTERPRET,
         )(J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0)
 
     return call
+
+
+def _pad8(n: int) -> int:
+    return -(-n // 8) * 8
 
 
 def solve_cg_batched(
@@ -188,41 +189,51 @@ def solve_cg_batched(
     from robogym_tpu.physics.constraint import EQ, FRICTION, ONESIDED
 
     B, nefc, nv = J_b.shape
+    Ep, Vp = _pad8(nefc), _pad8(nv)
     pad = (-B) % LANE
+    Bp = B + pad
     dt = jnp.float32
     kind = np.asarray(kind, np.int32)
     eq_np = (kind == EQ).astype(np.float32)
     one_np = (kind == ONESIDED).astype(np.float32)
     fr_np = (kind == FRICTION).astype(np.float32)
 
-    def fm(x):  # feature-major, batch minor (+ padding)
+    def fm(x, *feat_pad):
+        """batch-minor transpose + zero padding of feature dims and lanes."""
         x = jnp.moveaxis(x, 0, -1).astype(dt)
-        if pad:
-            x = jnp.concatenate(
-                [x, jnp.zeros(x.shape[:-1] + (pad,), dt)], axis=-1
-            )
+        pads = [(0, p) for p in feat_pad] + [(0, pad)]
+        if any(p for _, p in pads):
+            x = jnp.pad(x, pads)
         return x
 
-    D_t = fm(D_b)
-    Deq = D_t * jnp.asarray(eq_np, dt)[:, None]
-    Done = D_t * jnp.asarray(one_np, dt)[:, None]
-    Dfr = D_t * jnp.asarray(fr_np, dt)[:, None]
+    D_t = fm(D_b, Ep - nefc)
+    padv = np.zeros(Ep - nefc, np.float32)
+    Deq = D_t * jnp.asarray(np.concatenate([eq_np, padv]), dt)[:, None]
+    Done = D_t * jnp.asarray(np.concatenate([one_np, padv]), dt)[:, None]
+    Dfr = D_t * jnp.asarray(np.concatenate([fr_np, padv]), dt)[:, None]
 
-    call = _build_call(int(iterations), nv, nefc)
-    # guard the padded lanes: identity M/Minv so the in-kernel math stays
-    # finite (results for padded lanes are discarded)
-    M_t = fm(M_b)
-    Minv_t = fm(Minv_b)
+    # padded dof rows/cols get identity M/Minv so the in-kernel math stays
+    # finite there (x0/qs pads are zero -> those dofs stay exactly zero)
+    M_t = fm(M_b, Vp - nv, Vp - nv)
+    Minv_t = fm(Minv_b, Vp - nv, Vp - nv)
+    if Vp > nv or pad:
+        diag_pad = np.zeros((Vp, Vp, 1), np.float32)
+        for i in range(nv, Vp):
+            diag_pad[i, i, 0] = 1.0
+        dpj = jnp.asarray(diag_pad, dt)
+        M_t = M_t + dpj
+        Minv_t = Minv_t + dpj
     if pad:
-        eye = jnp.broadcast_to(
-            jnp.eye(nv, dtype=dt)[:, :, None], (nv, nv, pad)
-        )
+        eye = jnp.broadcast_to(jnp.eye(Vp, dtype=dt)[:, :, None], (Vp, Vp, pad))
         M_t = M_t.at[:, :, B:].set(eye)
         Minv_t = Minv_t.at[:, :, B:].set(eye)
+
+    call = _build_call(int(iterations), Vp, Ep)
     x_t, f_t = call(
-        fm(J_b), fm(aref_b), Deq, Done, Dfr, fm(floss_b),
-        M_t, Minv_t, fm(qs_b), fm(x0_b),
+        fm(J_b, Ep - nefc, Vp - nv), fm(aref_b, Ep - nefc),
+        Deq, Done, Dfr, fm(floss_b, Ep - nefc),
+        M_t, Minv_t, fm(qs_b, Vp - nv), fm(x0_b, Vp - nv),
     )
-    x = jnp.moveaxis(x_t[:, :B], -1, 0)
-    f = jnp.moveaxis(f_t[:, :B], -1, 0)
+    x = jnp.moveaxis(x_t[:nv, :B], -1, 0)
+    f = jnp.moveaxis(f_t[:nefc, :B], -1, 0)
     return x, f

@@ -401,13 +401,11 @@ def make_efc(m: Model, d: Data, Minv: jax.Array = None):
 def solve(m: Model, d: Data, qfrc_smooth: jax.Array, Minv: jax.Array = None) -> Data:
     """Newton solve for qacc; fills qacc, qfrc_constraint, contact forces."""
     if Minv is None:
-        # explicit M^-1 (one pair of multi-rhs triangular solves), reused by
-        # the regularizer and every CG preconditioner application — replaces
-        # per-iteration cho_solves (sequential, latency-bound on TPU) with
-        # (nv, nv) matmuls
-        eye_nv = jnp.eye(m.const.nv, dtype=d.qpos.dtype)
-        Linv = jax.scipy.linalg.solve_triangular(d.qLD, eye_nv, lower=True)
-        Minv = Linv.T @ Linv
+        # explicit M^-1, reused by the regularizer and every CG
+        # preconditioner application (fused Pallas kernel under vmap on TPU)
+        from robogym_tpu.physics import factor_kernel
+
+        Minv = factor_kernel.spd_inverse(d.qM)
     efc = make_efc(m, d, Minv)
     if efc is None:
         return d.replace(
@@ -618,13 +616,11 @@ def _make_cg_core(kind_key: bytes, iterations: int):
         import os
 
         backend = jax.default_backend()
-        # EXPERIMENTAL opt-in: the fused Pallas kernel currently stalls the
-        # Mosaic compiler in this container (see cg_kernel.py docstring), so
-        # the default stays on the XLA scan path until that is resolved.
+        # default on TPU; ROBOGYM_TPU_NO_PALLAS forces the XLA scan path
         use_pallas = (
             all(in_batched)
             and backend not in ("cpu", "gpu")
-            and bool(os.environ.get("ROBOGYM_TPU_PALLAS_CG"))
+            and not os.environ.get("ROBOGYM_TPU_NO_PALLAS")
         )
         if use_pallas:
             from robogym_tpu.physics import cg_kernel

@@ -240,16 +240,20 @@ def crb(m: Model, d: Data) -> Data:
     qMm = qMu * A
     qM = qMm + qMm.T - jnp.diag(jnp.diag(qMm))
     qM = qM + jnp.diag(m.dof_armature)
-    qLD = jax.scipy.linalg.cholesky(
-        qM + jnp.eye(c.nv, dtype=qM.dtype) * 1e-12, lower=True
-    )
-    return d.replace(qM=qM, qLD=qLD)
+    # NOTE: no Cholesky here — the forward pipeline computes the explicit
+    # M^-1 once per substep (fused Pallas kernel on TPU); d.qLD stays at its
+    # placeholder value and solve_m factors on demand for out-of-pipeline
+    # callers.
+    return d.replace(qM=qM)
 
 
 def solve_m(d: Data, rhs: jax.Array) -> jax.Array:
-    """M^-1 rhs via the cached Cholesky factor."""
-    y = jax.scipy.linalg.solve_triangular(d.qLD, rhs, lower=True)
-    return jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
+    """M^-1 rhs (factors qM on demand; not on the hot path)."""
+    qLD = jax.scipy.linalg.cholesky(
+        d.qM + jnp.eye(d.qM.shape[0], dtype=d.qM.dtype) * 1e-12, lower=True
+    )
+    y = jax.scipy.linalg.solve_triangular(qLD, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(qLD.T, y, lower=False)
 
 
 # ---------------------------------------------------------------------------

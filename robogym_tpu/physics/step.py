@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from robogym_tpu.mjcf.model import Data, JointType, Model
 from robogym_tpu.physics import actuation as actuation_lib
 from robogym_tpu.physics import constraint as constraint_lib
+from robogym_tpu.physics import factor_kernel
 from robogym_tpu.physics import smooth
 from robogym_tpu.physics import tables
 from robogym_tpu.physics.collision import driver as collision_driver
@@ -53,10 +54,9 @@ def forward(m: Model, d: Data) -> Data:
     )
     # explicit M^-1 computed once per substep; reused for qacc_smooth, the
     # constraint regularizer, and the CG preconditioner (matmuls instead of
-    # repeated batched triangular solves)
-    eye_nv = jnp.eye(m.const.nv, dtype=d.qpos.dtype)
-    Linv = jax.scipy.linalg.solve_triangular(d.qLD, eye_nv, lower=True)
-    Minv = Linv.T @ Linv
+    # repeated batched triangular solves). Under vmap on TPU this dispatches
+    # to the fused Pallas factor kernel (physics/factor_kernel.py).
+    Minv = factor_kernel.spd_inverse(d.qM)
     qacc_smooth = Minv @ qfrc_smooth
     d = d.replace(qacc_smooth=qacc_smooth)
     d = constraint_lib.solve(m, d, qfrc_smooth, Minv)
@@ -131,9 +131,11 @@ def euler(m: Model, d: Data) -> Data:
     # explicit integration of Kvp=70 on ~0.06 kg*m^2 wrist dofs limit-cycles
     qfrc_total = d.qM @ d.qacc  # == qfrc_smooth + qfrc_constraint
     M_imp = d.qM + dt * jnp.diag(m.dof_damping + d.act_vel_damping)
-    qacc_imp = jax.scipy.linalg.cho_solve(
-        (jax.scipy.linalg.cholesky(M_imp, lower=True), True), qfrc_total
-    )
+    Minv_imp = factor_kernel.spd_inverse(M_imp)
+    qacc_imp = Minv_imp @ qfrc_total
+    # one iterative-refinement step recovers cho_solve-level accuracy from
+    # the explicit-inverse apply (two extra matvecs)
+    qacc_imp = qacc_imp + Minv_imp @ (qfrc_total - M_imp @ qacc_imp)
     qvel_new = d.qvel + dt * qacc_imp
     qpos_new = integrate_pos(m, d.qpos, qvel_new, dt)
     return d.replace(
