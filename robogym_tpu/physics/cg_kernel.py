@@ -180,23 +180,241 @@ def _pad8(n: int) -> int:
     return -(-n // 8) * 8
 
 
-def solve_cg_batched(
-    kind: np.ndarray, iterations: int,
-    J_b, aref_b, D_b, floss_b, M_b, Minv_b, qs_b, x0_b,
-) -> Tuple[jax.Array, jax.Array]:
-    """Batched (leading axis) CG solve via the fused kernel.
-    Returns (qacc (B, nv), efc_force (B, nefc))."""
+# ---------------------------------------------------------------------------
+# "fat" kernel: aref + regularizer + CG + J^T f, all in VMEM
+# ---------------------------------------------------------------------------
+
+
+def _cg_full_kernel(iterations,
+                    J_ref, pos_ref, kimp_ref, bref_ref, rcoef_ref, act_ref,
+                    floss_ref, eqm_ref, onem_ref, frm_ref,
+                    M_ref, Minv_ref, qvel_ref, qs_ref, x0_ref,
+                    x_out, f_out, qfrc_out):
+    """Like _cg_kernel, but additionally computes per-row aref
+    (-bref*J@qvel - kimp*pos), the regularizer D = active / (rcoef *
+    max(diag(J Minv J^T), 1e-12)), and the output qfrc = J^T f — so the only
+    XLA-side work per solve is building J and the (E, L) coefficient maps."""
+    J = J_ref[:]          # (E, V, L)
+    pos = pos_ref[:]      # (E, L)
+    kimp = kimp_ref[:]
+    bref = bref_ref[:]
+    rcoef = rcoef_ref[:]
+    act = act_ref[:]
+    floss = floss_ref[:]
+    eqm = eqm_ref[:]
+    onem = onem_ref[:]
+    frm = frm_ref[:]
+    M = M_ref[:]          # (V, V, L)
+    Minv = Minv_ref[:]
+    qvel = qvel_ref[:]    # (V, L)
+    qs = qs_ref[:]
+    x0 = x0_ref[:]
+    V = J.shape[1]
+
+    def mv_J(x):
+        return jnp.sum(J * x[None, :, :], axis=1)
+
+    def mv_JT(f):
+        return jnp.sum(J * f[:, None, :], axis=0)
+
+    def mv_M(A, x):
+        return jnp.sum(A * x[None, :, :], axis=1)
+
+    # aref and regularizer
+    aref = -bref * mv_J(qvel) - kimp * pos
+    # A_diag[e] = sum_w (sum_v J[e,v] Minv[v,w]) J[e,w]
+    a_diag = jnp.zeros_like(pos)
+    for w in range(V):
+        s_w = jnp.sum(J * Minv[:, w, :][None, :, :], axis=1)   # (E, L)
+        a_diag = a_diag + s_w * J[:, w, :]
+    R = rcoef * jnp.maximum(a_diag, 1e-12)
+    D = act / R
+    Deq = D * eqm
+    Done = D * onem
+    Dfr = D * frm
+
+    def force(jar):
+        neg = (jar < 0).astype(jar.dtype)
+        return Deq * jar + Done * jar * neg + jnp.clip(
+            Dfr * jar, -floss, floss
+        )
+
+    def penalty(jar):
+        neg = (jar < 0).astype(jar.dtype)
+        c_quad = 0.5 * (Deq + Done * neg) * jar * jar
+        absDjar = jnp.abs(Dfr * jar)
+        inside = (absDjar < floss).astype(jar.dtype)
+        quad_f = 0.5 * Dfr * jar * jar
+        lin_f = floss * jnp.abs(jar) - 0.5 * floss * floss / jnp.maximum(
+            Dfr, 1e-12
+        )
+        c_fric = inside * quad_f + (1.0 - inside) * lin_f
+        return jnp.sum(c_quad + c_fric, axis=0, keepdims=True)
+
+    def grad(x, jar):
+        return mv_M(M, x - qs) + mv_JT(force(jar))
+
+    jar0 = mv_J(x0) - aref
+    g0 = grad(x0, jar0)
+    Mg0 = mv_M(Minv, g0)
+    p0 = -Mg0
+
+    def body(_, carry):
+        x, jar, g, Mg, p = carry
+        Jp = mv_J(p)
+        dx0 = x - qs
+        Mp = mv_M(M, p)
+        Mdx0 = mv_M(M, dx0)
+        c0 = jnp.sum(dx0 * Mdx0, axis=0, keepdims=True)
+        c1 = jnp.sum(dx0 * Mp, axis=0, keepdims=True)
+        c2 = jnp.sum(p * Mp, axis=0, keepdims=True)
+
+        best_cost = jnp.full_like(c0, jnp.inf)
+        best_a = jnp.zeros_like(c0)
+        for a in ALPHAS:
+            cost = 0.5 * (c0 + 2.0 * a * c1 + a * a * c2) + penalty(
+                jar + a * Jp
+            )
+            take = cost < best_cost
+            best_cost = jnp.where(take, cost, best_cost)
+            best_a = jnp.where(take, a, best_a)
+
+        x = x + best_a * p
+        jar = jar + best_a * Jp
+        g_new = grad(x, jar)
+        Mg_new = mv_M(Minv, g_new)
+        num = jnp.sum(g_new * (Mg_new - Mg), axis=0, keepdims=True)
+        den = jnp.maximum(jnp.sum(g * Mg, axis=0, keepdims=True), 1e-12)
+        beta = jnp.maximum(num / den, 0.0)
+        p = -Mg_new + beta * p
+        return (x, jar, g_new, Mg_new, p)
+
+    x, jar, _, _, _ = jax.lax.fori_loop(
+        0, iterations, body, (x0, jar0, g0, Mg0, p0)
+    )
+    f = -force(jar)
+    x_out[:] = x
+    f_out[:] = f
+    qfrc_out[:] = mv_JT(f)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_full_call(iterations: int, nv: int, nefc: int):
+    kernel = functools.partial(_cg_full_kernel, iterations)
+
+    def spec3(d0, d1):
+        return pl.BlockSpec((d0, d1, LANE), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    def spec2(d0):
+        return pl.BlockSpec((d0, LANE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def call(J, pos, kimp, bref, rcoef, act, floss, eqm, onem, frm,
+             M, Minv, qvel, qs, x0):
+        B = J.shape[-1]
+        assert B % LANE == 0, B
+        return pl.pallas_call(
+            kernel,
+            grid=(B // LANE,),
+            in_specs=[
+                spec3(nefc, nv),
+                spec2(nefc), spec2(nefc), spec2(nefc), spec2(nefc),
+                spec2(nefc), spec2(nefc), spec2(nefc), spec2(nefc),
+                spec2(nefc),
+                spec3(nv, nv), spec3(nv, nv),
+                spec2(nv), spec2(nv), spec2(nv),
+            ],
+            out_specs=[spec2(nv), spec2(nefc), spec2(nv)],
+            out_shape=[
+                jax.ShapeDtypeStruct((nv, B), jnp.float32),
+                jax.ShapeDtypeStruct((nefc, B), jnp.float32),
+                jax.ShapeDtypeStruct((nv, B), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=INTERPRET,
+        )(J, pos, kimp, bref, rcoef, act, floss, eqm, onem, frm,
+          M, Minv, qvel, qs, x0)
+
+    return call
+
+
+def solve_cg_full(kind: np.ndarray, iterations: int, inputs: dict):
+    """Fat-kernel entry. All inputs ALREADY batch-minor:
+      J (E, V, B), row maps pos/kimp/bref/rcoef/active/floss (E, B),
+      M/Minv (V, V, B), qvel/qs/x0 (V, B).
+    E and V may be unpadded; this pads to 8 and B to 128.
+    Returns (x (V, B), f (E, B), qfrc (V, B)) unpadded."""
     from robogym_tpu.physics.constraint import EQ, FRICTION, ONESIDED
 
+    J = inputs["J"]
+    E, V, B = J.shape
+    Ep, Vp = _pad8(E), _pad8(max(V, 8))
+    pad = (-B) % LANE
+    dt = jnp.float32
+    kind = np.asarray(kind, np.int32)
+
+    def pad3(x, p0, p1):
+        if p0 or p1 or pad:
+            x = jnp.pad(x.astype(dt), ((0, p0), (0, p1), (0, pad)))
+        return x.astype(dt)
+
+    def pad2(x, p0):
+        if p0 or pad:
+            x = jnp.pad(x.astype(dt), ((0, p0), (0, pad)))
+        return x.astype(dt)
+
+    def kmask(k):
+        v = np.pad((kind == k).astype(np.float32), (0, Ep - E))
+        return jnp.broadcast_to(jnp.asarray(v, dt)[:, None], (Ep, B + pad))
+
+    M_t = pad3(inputs["M"], Vp - V, Vp - V)
+    Minv_t = pad3(inputs["Minv"], Vp - V, Vp - V)
+    if Vp > V or pad:
+        dpad = np.zeros((Vp, Vp, 1), np.float32)
+        for i in range(V, Vp):
+            dpad[i, i, 0] = 1.0
+        M_t = M_t + jnp.asarray(dpad)
+        Minv_t = Minv_t + jnp.asarray(dpad)
+        if pad:
+            eye = jnp.broadcast_to(
+                jnp.eye(Vp, dtype=dt)[:, :, None], (Vp, Vp, pad)
+            )
+            M_t = M_t.at[:, :, B:].set(eye)
+            Minv_t = Minv_t.at[:, :, B:].set(eye)
+
+    # padded rows: act=0 -> D=0 -> no force; rcoef pad 1 avoids 0-div
+    rcoef = pad2(inputs["rcoef"], Ep - E)
+    if Ep > E:
+        rcoef = rcoef.at[E:, :].set(1.0)
+
+    call = _build_full_call(int(iterations), Vp, Ep)
+    x, f, qfrc = call(
+        pad3(J, Ep - E, Vp - V),
+        pad2(inputs["pos"], Ep - E), pad2(inputs["kimp"], Ep - E),
+        pad2(inputs["bref"], Ep - E), rcoef,
+        pad2(inputs["active"], Ep - E), pad2(inputs["floss"], Ep - E),
+        kmask(EQ), kmask(ONESIDED), kmask(FRICTION),
+        M_t, Minv_t,
+        pad2(inputs["qvel"], Vp - V), pad2(inputs["qs"], Vp - V),
+        pad2(inputs["x0"], Vp - V),
+    )
+    return x[:V, :B], f[:E, :B], qfrc[:V, :B]
+
+
+def solve_cg_batched(
+    iterations: int,
+    J_b, aref_b, Deq_b, Done_b, Dfr_b, floss_b, M_b, Minv_b, qs_b, x0_b,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched (leading axis) CG solve via the fused kernel; row weights
+    arrive premasked by kind (constraint.kind_masked_D).
+    Returns (qacc (B, nv), efc_force (B, nefc))."""
     B, nefc, nv = J_b.shape
     Ep, Vp = _pad8(nefc), _pad8(nv)
     pad = (-B) % LANE
-    Bp = B + pad
     dt = jnp.float32
-    kind = np.asarray(kind, np.int32)
-    eq_np = (kind == EQ).astype(np.float32)
-    one_np = (kind == ONESIDED).astype(np.float32)
-    fr_np = (kind == FRICTION).astype(np.float32)
 
     def fm(x, *feat_pad):
         """batch-minor transpose + zero padding of feature dims and lanes."""
@@ -206,11 +424,9 @@ def solve_cg_batched(
             x = jnp.pad(x, pads)
         return x
 
-    D_t = fm(D_b, Ep - nefc)
-    padv = np.zeros(Ep - nefc, np.float32)
-    Deq = D_t * jnp.asarray(np.concatenate([eq_np, padv]), dt)[:, None]
-    Done = D_t * jnp.asarray(np.concatenate([one_np, padv]), dt)[:, None]
-    Dfr = D_t * jnp.asarray(np.concatenate([fr_np, padv]), dt)[:, None]
+    Deq = fm(Deq_b, Ep - nefc)
+    Done = fm(Done_b, Ep - nefc)
+    Dfr = fm(Dfr_b, Ep - nefc)
 
     # padded dof rows/cols get identity M/Minv so the in-kernel math stays
     # finite there (x0/qs pads are zero -> those dofs stay exactly zero)

@@ -258,9 +258,59 @@ def _support_multi(gtype: int, data, dirs: jax.Array) -> jax.Array:
     raise NotImplementedError(f"support for type {gtype}")
 
 
+_HULL_TYPES = (GeomType.BOX, GeomType.MESH)
+
+
+def _hull_verts(t, data):
+    """Padded world-frame vert hull (K, 3, V) + center (K, 3) for a
+    box (8 corners) or mesh (hull cache) geom batch."""
+    if t == GeomType.BOX:
+        signs = np.asarray(
+            [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+             for sz in (-1.0, 1.0)], np.float32,
+        )                                                   # (8, 3)
+        local = jnp.asarray(signs)[None] * data["size"][:, None, :]  # (K,8,3)
+        world = data["xpos"][:, None, :] + jnp.sum(
+            data["xmat"][:, None, :, :] * local[:, :, None, :], axis=-1
+        )                                                   # (K, 8, 3)
+        return jnp.swapaxes(world, 1, 2), data["xpos"]
+    return data["world_vert"], data["center"]
+
+
+def _hull_extra_dirs(t1, t2, data1, data2):
+    """Per-pair separating-axis candidates: box face normals (unit)."""
+    for t, data in ((t1, data1), (t2, data2)):
+        if t == GeomType.BOX:
+            fn = jnp.concatenate(
+                [data["xmat"].transpose(0, 2, 1),
+                 -data["xmat"].transpose(0, 2, 1)], axis=1
+            )                                               # (K, 6, 3)
+            return fn, 6
+    K = data1["center"].shape[0]
+    return jnp.zeros((K, 1, 3), data1["center"].dtype), 0
+
+
+def _collide_hull_group(t1, t2, data1, data2):
+    """Single-point hull-hull collision via the fused sweep core
+    (convex_kernel.py; Pallas under vmap on TPU).
+    Returns dist (K,), pos (K,3), normal (K,3), plane_pt (K,3)."""
+    from robogym_tpu.physics.collision import convex_kernel
+
+    v1, c1 = _hull_verts(t1, data1)
+    v2, c2 = _hull_verts(t2, data2)
+    xd, DX = _hull_extra_dirs(t1, t2, data1, data2)
+    core = convex_kernel._make_hull_core(DX)
+    dirs12 = jnp.asarray(convex_kernel._dirs12_np())
+    ring = jnp.asarray(convex_kernel._ring_np())
+    return core(v1, v2, c1, c2, xd, dirs12, ring)
+
+
 def _collide_convex_group(t1, t2, data1, data2, n_refine=8):
     """Batched single-point convex collision over K gathered pairs.
     Returns dist (K,), pos (K,3), normal (K,3)."""
+    if t1 in _HULL_TYPES and t2 in _HULL_TYPES:
+        dist, pos, normal, _ = _collide_hull_group(t1, t2, data1, data2)
+        return dist, pos, normal
     c1, c2 = data1["center"], data2["center"]
     dtype = c1.dtype
     K = c1.shape[0]
@@ -328,12 +378,16 @@ def _collide_convex_group(t1, t2, data1, data2, n_refine=8):
 def _collide_box_convex_group(t2, data1, data2, n_refine=8):
     """Batched box-vs-hull 4-point manifold over K gathered pairs.
     Returns dist (K,4), pos (K,4,3), normal (K,4,3)."""
-    dist0, pos0, n = _collide_convex_group(GeomType.BOX, t2, data1, data2,
-                                           n_refine)
+    if t2 in _HULL_TYPES:
+        dist0, pos0, n, plane_pt = _collide_hull_group(
+            GeomType.BOX, t2, data1, data2
+        )
+    else:
+        dist0, pos0, n = _collide_convex_group(GeomType.BOX, t2, data1,
+                                               data2, n_refine)
+        plane_pt = _support_multi(t2, data2, -n[:, None, :])[:, 0]  # (K,3)
     dtype = dist0.dtype
     K = dist0.shape[0]
-
-    plane_pt = _support_multi(t2, data2, -n[:, None, :])[:, 0]   # (K,3)
 
     signs = jnp.asarray(
         [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)

@@ -97,16 +97,10 @@ def _rot_jac_batch(m: Model, d: Data, bodyids: jax.Array):
     return d.cdof[None, :, :3] * mask[:, :, None]   # (S, nv, 3)
 
 
-def make_efc(m: Model, d: Data, Minv: jax.Array = None):
-    """Assemble constraint rows: J (nefc, nv), aref, D, floss, kind arrays.
-
-    Row layout (static): [equality | dof friction | joint limits |
-    tendon limits | contact facets by condim class].
-
-    `Minv` is the explicit inverse mass matrix computed once per substep —
-    regularization needs diag(J M^-1 J^T); a matmul against Minv replaces
-    the batched triangular solves that were latency-bound on TPU.
-    """
+def scalar_blocks(m: Model, d: Data):
+    """Non-contact constraint rows: equality, dof friction, joint limits,
+    tendon limits. Returns (J, pos, solref, solimp, floss, active, kind_np)
+    with kind_np a STATIC numpy array."""
     c = m.const
     dtype = d.qpos.dtype
     nv = c.nv
@@ -272,6 +266,26 @@ def make_efc(m: Model, d: Data, Minv: jax.Array = None):
         floss_scalar = jnp.zeros((0,), dtype)
         active_scalar = jnp.zeros((0,), bool)
         kind_scalar = np.zeros(0, np.int32)
+    return (J_scalar, pos_scalar, solref_scalar, solimp_scalar,
+            floss_scalar, active_scalar, kind_scalar)
+
+
+def make_efc(m: Model, d: Data, Minv: jax.Array = None):
+    """Assemble constraint rows: J (nefc, nv), aref, D, floss, kind arrays.
+
+    Row layout (static): [equality | dof friction | joint limits |
+    tendon limits | contact facets by condim class].
+
+    `Minv` is the explicit inverse mass matrix computed once per substep —
+    regularization needs diag(J M^-1 J^T); a matmul against Minv replaces
+    the batched triangular solves that were latency-bound on TPU.
+    """
+    c = m.const
+    dtype = d.qpos.dtype
+    nv = c.nv
+    (J_scalar, pos_scalar, solref_scalar, solimp_scalar,
+     floss_scalar, active_scalar, kind_scalar) = scalar_blocks(m, d)
+    n_scalar = J_scalar.shape[0]
 
     # ---- contacts: top-k ACTIVE slot selection, then one batched facet
     # emission. The collision driver produces thousands of static slots, of
@@ -406,6 +420,10 @@ def solve(m: Model, d: Data, qfrc_smooth: jax.Array, Minv: jax.Array = None) -> 
         from robogym_tpu.physics import factor_kernel
 
         Minv = factor_kernel.spd_inverse(d.qM)
+    if m.opt.solver == "cg":
+        out = _solve_cg_post_gather(m, d, Minv)
+        if out is not None:
+            return out
     efc = make_efc(m, d, Minv)
     if efc is None:
         return d.replace(
@@ -514,12 +532,165 @@ def solve(m: Model, d: Data, qfrc_smooth: jax.Array, Minv: jax.Array = None) -> 
     )
 
 
+def _solve_cg_post_gather(m: Model, d: Data, Minv: jax.Array):
+    """CG solve via the post-gather custom_vmap core
+    (physics/constraint_batched.py): contact slots are selected and gathered
+    here (cheap, dense layouts), then the whole row build + solve runs
+    behind one vmap boundary so the batched TPU path can assemble J
+    batch-minor and run the fused Pallas kernel. Returns None when the
+    model has no contact slots (caller falls back to the scalar-only path).
+    """
+    from robogym_tpu.physics import constraint_batched
+
+    c = m.const
+    con = d.contact
+    ncon = con.dist.shape[0]
+    if ncon == 0:
+        return None
+    S = min(m.opt.ncon_active, ncon)
+    if S <= 0:
+        return None
+    condims_np = np.asarray(collision_driver.contact_slot_layout(c), np.int32)
+    nfacet = {1: 1, 3: 4, 4: 6, 6: 10}[int(condims_np.max())]
+    dtype = d.qpos.dtype
+
+    (J_s, pos_s, solref_s, solimp_s, floss_s, active_s, kind_s) = (
+        scalar_blocks(m, d)
+    )
+
+    score = jnp.where(con.active, con.dist - con.includemargin, BIG)
+    _, sel = jax.lax.top_k(-score, S)
+    geom_bodyid = jnp.asarray(c.geom_bodyid)
+    b1 = geom_bodyid[con.geom1[sel]]
+    b2 = geom_bodyid[con.geom2[sel]]
+    rootid = jnp.asarray(c.body_rootid)
+    dofmask = jnp.asarray(c.body_dof_mask, dtype)
+    x0 = jnp.where(jnp.isfinite(d.qacc).all(), d.qacc, d.qacc_smooth)
+
+    core = constraint_batched._make_core(
+        np.asarray(kind_s, np.int32).tobytes(), int(m.opt.iterations), nfacet
+    )
+    x, qfrc, f = core(
+        J_s, pos_s, solref_s, solimp_s, floss_s, active_s.astype(dtype),
+        con.pos[sel], con.frame[sel], con.dist[sel], con.includemargin[sel],
+        con.friction[sel], con.active[sel], con.condim[sel],
+        dofmask[b1], dofmask[b2],
+        d.subtree_com[rootid[b1]], d.subtree_com[rootid[b2]],
+        con.solref[sel], con.solimp[sel],
+        d.cdof, d.qvel, d.qM, Minv, d.qacc_smooth, x0,
+    )
+    n_s = J_s.shape[0]
+    block = f[n_s:].reshape(S, nfacet).sum(axis=1)
+    efc_force_contact = jnp.zeros(ncon, dtype).at[sel].set(block)
+    return d.replace(
+        qacc=x,
+        qfrc_constraint=qfrc,
+        efc_force_contact=efc_force_contact,
+    )
+
+
 import functools
 
 
+ALPHAS = (2.0, 1.0, 0.5, 0.25, 0.12, 0.06, 0.03, 0.015, 0.005, 0.0)
+
+
+def kind_masked_D(kind: np.ndarray, D: jax.Array):
+    """(Deq, Done, Dfr) = D premasked by row kind, built CONST-FREE.
+
+    The kind layout is static; masking is done by slicing D into the
+    run-length segments of `kind` and concatenating with zeros. No
+    jnp.asarray(numpy_mask) is created: custom_vmap reference functions may
+    not capture array constants (vmapping a lax.cond that contains the bound
+    call batches the captured consts and trips jax's consts_batched
+    assert)."""
+    kind = np.asarray(kind, np.int32)
+    n = len(kind)
+    # run-length segments of constant kind
+    bounds = [0] + [i for i in range(1, n) if kind[i] != kind[i - 1]] + [n]
+    zero = jnp.zeros_like(D)
+    outs = []
+    for want in (EQ, ONESIDED, FRICTION):
+        segs = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            src = D if kind[a] == want else zero
+            segs.append(src[..., a:b])
+        outs.append(segs[0] if len(segs) == 1 else
+                    jnp.concatenate(segs, axis=-1))
+    return tuple(outs)
+
+
+def _scan_cg_solve(J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0,
+                   iterations: int):
+    """Reference XLA scan CG solve on premasked row weights. Same math as
+    the fused Pallas kernel (cg_kernel._cg_kernel). CONST-FREE: no jnp
+    array constants are captured (see kind_masked_D)."""
+
+    def force(jar):
+        neg = (jar < 0).astype(jar.dtype)
+        return Deq * jar + Done * jar * neg + jnp.clip(
+            Dfr * jar, -floss, floss
+        )
+
+    def penalty_cost(jar):
+        neg = (jar < 0).astype(jar.dtype)
+        c_quad = 0.5 * (Deq + Done * neg) * jar * jar
+        absDjar = jnp.abs(Dfr * jar)
+        inside = (absDjar < floss).astype(jar.dtype)
+        quad_f = 0.5 * Dfr * jar * jar
+        lin_f = floss * jnp.abs(jar) - 0.5 * floss * floss / jnp.maximum(
+            Dfr, 1e-12
+        )
+        c_fric = inside * quad_f + (1.0 - inside) * lin_f
+        return jnp.sum(c_quad + c_fric)
+
+    def grad(x, jar):
+        return M @ (x - qs) + J.T @ force(jar)
+
+    jar0 = J @ x0 - aref
+    g0 = grad(x0, jar0)
+    Mg0 = Minv @ g0
+    p0 = -Mg0
+
+    def body(carry, _):
+        x, jar, g, Mg, p = carry
+        Jp = J @ p
+        # line search: the smooth term is an exact quadratic in the
+        # step size — coefficients computed ONCE per iteration
+        dx0 = x - qs
+        Mp = M @ p
+        c0 = dx0 @ (M @ dx0)
+        c1 = dx0 @ Mp
+        c2 = p @ Mp
+        best_cost = jnp.asarray(jnp.inf, x.dtype)
+        best_a = jnp.asarray(0.0, x.dtype)
+        for a in ALPHAS:  # python floats -> inline literals, no consts
+            cost = 0.5 * (c0 + 2.0 * a * c1 + a * a * c2) + penalty_cost(
+                jar + a * Jp
+            )
+            take = cost < best_cost
+            best_cost = jnp.where(take, cost, best_cost)
+            best_a = jnp.where(take, a, best_a)
+        x = x + best_a * p
+        jar = jar + best_a * Jp
+        g_new = grad(x, jar)
+        Mg_new = Minv @ g_new
+        # Polak-Ribiere+ with automatic restart
+        num = jnp.dot(g_new, Mg_new - Mg)
+        den = jnp.maximum(jnp.dot(g, Mg), 1e-12)
+        beta = jnp.maximum(num / den, 0.0)
+        p = -Mg_new + beta * p
+        return (x, jar, g_new, Mg_new, p), ()
+
+    (x, jar, _, _, _), _ = jax.lax.scan(
+        body, (x0, jar0, g0, Mg0, p0), None, length=iterations,
+    )
+    return x, -force(jar)
+
+
 @functools.lru_cache(maxsize=64)
-def _make_cg_core(kind_key: bytes, iterations: int):
-    """CG solve core for a static row-kind layout.
+def _make_cg_core(iterations: int):
+    """CG solve core on premasked row weights.
 
     Wrapped in `jax.custom_batching.custom_vmap`: the single-env path is the
     reference pure-JAX scan; under vmap on TPU the whole batch dispatches to
@@ -529,114 +700,45 @@ def _make_cg_core(kind_key: bytes, iterations: int):
     the constraint phase (PROFILE.md)."""
     from jax import custom_batching
 
-    kind = np.frombuffer(kind_key, np.int32)
-    # keep masks as NUMPY here: the factory result is lru-cached across jit
-    # traces, so any jnp array created at build time would leak between
-    # traces — materialize constants inside the traced functions instead
-    is_eq_np = kind == EQ
-    is_one_np = kind == ONESIDED
-    is_fric_np = kind == FRICTION
-    alphas_np = [2.0, 1.0, 0.5, 0.25, 0.12, 0.06, 0.03, 0.015, 0.005, 0.0]
-
-    def scan_solve(J, aref, D, floss, M, Minv, qs, x0):
-        dtype = J.dtype
-        is_eq = jnp.asarray(is_eq_np)
-        is_one = jnp.asarray(is_one_np)
-        is_fric = jnp.asarray(is_fric_np)
-
-        def force(jar):
-            quad_active = is_eq | (is_one & (jar < 0))
-            f_quad = D * jar * quad_active
-            f_fric = jnp.clip(D * jar, -floss, floss) * is_fric
-            return f_quad + f_fric
-
-        def penalty_cost(jar):
-            quad_active = is_eq | (is_one & (jar < 0))
-            c_quad = 0.5 * D * jar * jar * quad_active
-            absDjar = jnp.abs(D * jar)
-            inside = absDjar < floss
-            c_fric = (
-                jnp.where(
-                    inside,
-                    0.5 * D * jar * jar,
-                    floss * jnp.abs(jar)
-                    - 0.5 * floss * floss / jnp.maximum(D, 1e-12),
-                )
-                * is_fric
-            )
-            return jnp.sum(c_quad + c_fric)
-
-        def grad(x, jar):
-            return M @ (x - qs) + J.T @ force(jar)
-
-        jar0 = J @ x0 - aref
-        g0 = grad(x0, jar0)
-        Mg0 = Minv @ g0
-        p0 = -Mg0
-        alphas = jnp.asarray(alphas_np, dtype)
-
-        def body(carry, _):
-            x, jar, g, Mg, p = carry
-            Jp = J @ p
-            # line search: the smooth term is an exact quadratic in the
-            # step size — coefficients computed ONCE per iteration
-            dx0 = x - qs
-            Mp = M @ p
-            c0 = dx0 @ (M @ dx0)
-            c1 = dx0 @ Mp
-            c2 = p @ Mp
-            costs = jax.vmap(
-                lambda a: 0.5 * (c0 + 2.0 * a * c1 + a * a * c2)
-                + penalty_cost(jar + a * Jp)
-            )(alphas)
-            a = alphas[jnp.argmin(costs)]
-            x = x + a * p
-            jar = jar + a * Jp
-            g_new = grad(x, jar)
-            Mg_new = Minv @ g_new
-            # Polak-Ribiere+ with automatic restart
-            num = jnp.dot(g_new, Mg_new - Mg)
-            den = jnp.maximum(jnp.dot(g, Mg), 1e-12)
-            beta = jnp.maximum(num / den, 0.0)
-            p = -Mg_new + beta * p
-            return (x, jar, g_new, Mg_new, p), ()
-
-        (x, jar, _, _, _), _ = jax.lax.scan(
-            body, (x0, jar0, g0, Mg0, p0), None, length=iterations,
-        )
-        return x, -force(jar)
+    def scan_solve(J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0):
+        return _scan_cg_solve(J, aref, Deq, Done, Dfr, floss, M, Minv, qs,
+                              x0, iterations)
 
     @custom_batching.custom_vmap
-    def core(J, aref, D, floss, M, Minv, qs, x0):
-        return scan_solve(J, aref, D, floss, M, Minv, qs, x0)
+    def core(J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0):
+        return scan_solve(J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0)
 
     @core.def_vmap
-    def _rule(axis_size, in_batched, J, aref, D, floss, M, Minv, qs, x0):
-        del axis_size
+    def _rule(axis_size, in_batched,
+              J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0):
         import os
 
+        def bc(x, b):
+            if b:
+                return x
+            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        args = tuple(
+            bc(a, b) for a, b in
+            zip((J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0), in_batched)
+        )
         backend = jax.default_backend()
         # default on TPU; ROBOGYM_TPU_NO_PALLAS forces the XLA scan path
         use_pallas = (
-            all(in_batched)
-            and backend not in ("cpu", "gpu")
+            (
+                backend not in ("cpu", "gpu")
+                or os.environ.get("ROBOGYM_TPU_FORCE_PALLAS")
+            )
             and not os.environ.get("ROBOGYM_TPU_NO_PALLAS")
         )
         if use_pallas:
             from robogym_tpu.physics import cg_kernel
 
-            x, f = cg_kernel.solve_cg_batched(
-                kind, iterations, J, aref, D, floss, M, Minv, qs, x0
-            )
+            x, f = cg_kernel.solve_cg_batched(iterations, *args)
             x = x.astype(J.dtype)
             f = f.astype(J.dtype)
         else:
-            # non-TPU or partially-batched: fall back to the mapped scan
-            mapped = jax.vmap(
-                scan_solve,
-                in_axes=tuple(0 if b else None for b in in_batched),
-            )
-            x, f = mapped(J, aref, D, floss, M, Minv, qs, x0)
+            x, f = jax.vmap(scan_solve)(*args)
         return (x, f), (True, True)
 
     return core
@@ -661,10 +763,9 @@ def _solve_cg(m: Model, d: Data, efc, is_eq, is_one, is_fric, Minv) -> Data:
 
     # warmstart from the previous substep's qacc (zero right after reset)
     x0 = jnp.where(jnp.isfinite(d.qacc).all(), d.qacc, d.qacc_smooth)
-    core = _make_cg_core(
-        np.asarray(kind, np.int32).tobytes(), int(m.opt.iterations)
-    )
-    x, f = core(J, aref, D, floss, M, Minv, d.qacc_smooth, x0)
+    core = _make_cg_core(int(m.opt.iterations))
+    Deq, Done, Dfr = kind_masked_D(kind, D)
+    x, f = core(J, aref, Deq, Done, Dfr, floss, M, Minv, d.qacc_smooth, x0)
     qfrc_constraint = J.T @ f
 
     ncon = efc["ncon"]

@@ -1,0 +1,305 @@
+"""Batch-minor constraint solve path (TPU).
+
+`constraint.solve` assembles contact Jacobian rows per env and solves the
+primal problem. Under vmap, the per-env assembly lowers to (B, S, nv, 3)
+tensors whose minor dims (3, then nv=30) tile at ~2-9% density on TPU —
+the assembly, not the CG iteration, dominated the constraint phase
+(scripts/profile_constraint.py).
+
+This module moves the whole post-gather pipeline behind ONE
+`jax.custom_batching.custom_vmap` boundary:
+
+  * reference path (unbatched / CPU): exactly the make_efc contact-facet
+    construction + the XLA scan CG — bitwise-compatible semantics.
+  * batched TPU path: builds J directly in (rows, nv, B) batch-minor
+    layout (lane-dense elementwise ops, cross products written per
+    component), computes the (E, B) row coefficient maps batch-major
+    (dense) and transposes them (small), then calls the fused Pallas
+    kernel `cg_kernel.solve_cg_full` which computes aref, the
+    diag(J M^-1 J^T) regularizer, the CG loop and J^T f in VMEM.
+
+Static configuration (scalar-row kinds, facet count, iteration count) is
+captured via an lru factory keyed on hashables, mirroring
+constraint._make_cg_core.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import custom_batching
+
+BIG = 1e10
+
+
+def _facets_per_condim(max_cd: int) -> int:
+    return {1: 1, 3: 4, 4: 6, 6: 10}[max_cd]
+
+
+@functools.lru_cache(maxsize=64)
+def _make_core(kind_s_key: bytes, iterations: int, nfacet: int):
+    from robogym_tpu.physics import constraint as cl
+
+    kind_s = np.frombuffer(kind_s_key, np.int32)
+
+    def _contact_rows_single(pos_c, frame_c, dist_c, margin_c, fric_c, act_c,
+                             cd_sel, mask1, mask2, rc1, rc2, cdof):
+        """Per-env facet rows from pre-gathered contact data.
+        Mirrors make_efc's contact section exactly."""
+        S = pos_c.shape[0]
+        off1 = pos_c - rc1                                    # (S, 3)
+        off2 = pos_c - rc2
+        jac1 = (
+            cdof[None, :, 3:] + jnp.cross(cdof[None, :, :3], off1[:, None, :])
+        ) * mask1[:, :, None]                                 # (S, nv, 3)
+        jac2 = (
+            cdof[None, :, 3:] + jnp.cross(cdof[None, :, :3], off2[:, None, :])
+        ) * mask2[:, :, None]
+        Jrel = jac2 - jac1
+        Jn = jnp.einsum("si,svi->sv", frame_c[:, 0], Jrel)
+
+        facets = [Jn]
+        facet_ok = [cd_sel >= 1]
+        if nfacet >= 4:
+            Jt1 = jnp.einsum("si,svi->sv", frame_c[:, 1], Jrel)
+            Jt2 = jnp.einsum("si,svi->sv", frame_c[:, 2], Jrel)
+            facets = [
+                Jn + fric_c[:, 0:1] * Jt1,
+                Jn - fric_c[:, 0:1] * Jt1,
+                Jn + fric_c[:, 1:2] * Jt2,
+                Jn - fric_c[:, 1:2] * Jt2,
+            ]
+            facet_ok = [cd_sel >= 3] * 4
+        if nfacet >= 6:
+            Jr = cdof[None, :, :3] * (mask2 - mask1)[:, :, None]
+            Jtn = jnp.einsum("si,svi->sv", frame_c[:, 0], Jr)
+            facets += [
+                Jn + fric_c[:, 2:3] * Jtn,
+                Jn - fric_c[:, 2:3] * Jtn,
+            ]
+            facet_ok += [cd_sel >= 4] * 2
+        if nfacet == 10:
+            Jr1_ = jnp.einsum("si,svi->sv", frame_c[:, 1], Jr)
+            Jr2_ = jnp.einsum("si,svi->sv", frame_c[:, 2], Jr)
+            facets += [
+                Jn + fric_c[:, 3:4] * Jr1_,
+                Jn - fric_c[:, 3:4] * Jr1_,
+                Jn + fric_c[:, 4:5] * Jr2_,
+                Jn - fric_c[:, 4:5] * Jr2_,
+            ]
+            facet_ok += [cd_sel >= 6] * 4
+        rows = jnp.stack(facets, axis=1)                      # (S, F, nv)
+        ok = jnp.stack(facet_ok, axis=1)
+        ok = ok | (jnp.arange(nfacet)[None, :] == 0)
+        active = act_c[:, None] & ok                          # (S, F)
+        return rows, active
+
+    def _row_maps(pos_s, solref_s, solimp_s, floss_s, active_s,
+                  dist_c, margin_c, solref_c, solimp_c, active_cf):
+        """All per-row coefficient maps, batch-major friendly shapes.
+        Returns pos, kimp, bref, rcoef, active, floss (each (..., E))."""
+        F = nfacet
+        pos_con = jnp.repeat(dist_c - margin_c, F, axis=-1)
+        pos = jnp.concatenate([pos_s, pos_con], axis=-1)
+        solref = jnp.concatenate(
+            [solref_s, jnp.repeat(solref_c, F, axis=-2)], axis=-2
+        )
+        solimp = jnp.concatenate(
+            [solimp_s, jnp.repeat(solimp_c, F, axis=-2)], axis=-2
+        )
+        floss = jnp.concatenate(
+            [floss_s, jnp.zeros_like(pos_con)], axis=-1
+        )
+        active = jnp.concatenate(
+            [active_s,
+             active_cf.reshape(active_cf.shape[:-2] + (-1,)).astype(pos.dtype)],
+            axis=-1,
+        )
+        imp = cl._impedance(solimp, pos)
+        k_ref, b_ref = cl._ref_kb(solref, imp)
+        kimp = k_ref * imp
+        rcoef = jnp.maximum((1.0 - imp) / imp, 1e-8)
+        return pos, kimp, b_ref, rcoef, active, floss
+
+    def reference(J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
+                  pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+                  mask1, mask2, rc1, rc2, solref_c, solimp_c,
+                  cdof, qvel, qM, Minv, qs, x0):
+        rows, active_cf = _contact_rows_single(
+            pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+            mask1, mask2, rc1, rc2, cdof,
+        )
+        S = pos_c.shape[0]
+        nv = cdof.shape[0]
+        J = jnp.concatenate([J_s, rows.reshape(S * nfacet, nv)])
+        pos, kimp, bref, rcoef, active, floss = _row_maps(
+            pos_s, solref_s, solimp_s, floss_s, active_s.astype(J.dtype),
+            dist_c, margin_c, solref_c, solimp_c, active_cf,
+        )
+        aref = -bref * (J @ qvel) - kimp * pos
+        MinvJT = Minv @ J.T
+        A_diag = jnp.maximum(jnp.einsum("iv,vi->i", J, MinvJT), 1e-12)
+        R = rcoef * A_diag
+        D = jnp.where(active > 0, 1.0 / R, 0.0)
+
+        kind_full = np.concatenate(
+            [kind_s, np.full(S * nfacet, cl.ONESIDED, np.int32)]
+        )
+        core = cl._make_cg_core(iterations)
+        Deq, Done, Dfr = cl.kind_masked_D(kind_full, D)
+        x, f = core(J, aref, Deq, Done, Dfr, floss, qM, Minv, qs, x0)
+        qfrc = J.T @ f
+        return x, qfrc, f
+
+    @custom_batching.custom_vmap
+    def solve(J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
+              pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+              mask1, mask2, rc1, rc2, solref_c, solimp_c,
+              cdof, qvel, qM, Minv, qs, x0):
+        return reference(
+            J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
+            pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+            mask1, mask2, rc1, rc2, solref_c, solimp_c,
+            cdof, qvel, qM, Minv, qs, x0,
+        )
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched,
+              J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
+              pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+              mask1, mask2, rc1, rc2, solref_c, solimp_c,
+              cdof, qvel, qM, Minv, qs, x0):
+        del axis_size
+        import os
+
+        use_pallas = (
+            all(in_batched)
+            and (
+                jax.default_backend() not in ("cpu", "gpu")
+                or os.environ.get("ROBOGYM_TPU_FORCE_PALLAS")
+            )
+            and not os.environ.get("ROBOGYM_TPU_NO_PALLAS")
+        )
+        if not use_pallas:
+            mapped = jax.vmap(
+                reference,
+                in_axes=tuple(0 if b else None for b in in_batched),
+            )
+            out = mapped(
+                J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
+                pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+                mask1, mask2, rc1, rc2, solref_c, solimp_c,
+                cdof, qvel, qM, Minv, qs, x0,
+            )
+            return out, (True, True, True)
+
+        from robogym_tpu.physics import cg_kernel
+
+        B, S, nv = mask1.shape
+        F = nfacet
+        dt = jnp.float32
+        t = lambda x: jnp.moveaxis(x.astype(dt), 0, -1)  # B -> minor
+
+        # ---- J in (E, nv, B) built natively batch-minor
+        cdof_t = t(cdof)                                 # (nv, 6, B)
+        m1 = t(mask1)                                    # (S, nv, B)
+        m2 = t(mask2)
+        o1 = t(pos_c - rc1)                              # (S, 3, B)
+        o2 = t(pos_c - rc2)
+        fr = t(frame_c)                                  # (S, 3, 3, B)
+        fc = t(fric_c)                                   # (S, 5, B)
+
+        a = [cdof_t[:, i, :][None] for i in range(3)]    # ang (1, nv, B)
+        lin = [cdof_t[:, 3 + i, :][None] for i in range(3)]
+
+        def jrel(off):
+            # cross(ang, off) per component; both jac sides share ang/lin
+            oc = [off[:, i, :][:, None, :] for i in range(3)]  # (S,1,B)
+            return [
+                lin[0] + a[1] * oc[2] - a[2] * oc[1],
+                lin[1] + a[2] * oc[0] - a[0] * oc[2],
+                lin[2] + a[0] * oc[1] - a[1] * oc[0],
+            ]
+
+        j1 = jrel(o1)
+        j2 = jrel(o2)
+        Jrel = [j2[i] * m2 - j1[i] * m1 for i in range(3)]  # (S, nv, B)
+
+        def project(row):  # frame row index -> (S, nv, B)
+            n0 = fr[:, row, 0, :][:, None, :]
+            n1 = fr[:, row, 1, :][:, None, :]
+            n2 = fr[:, row, 2, :][:, None, :]
+            return n0 * Jrel[0] + n1 * Jrel[1] + n2 * Jrel[2]
+
+        Jn = project(0)
+        facets = [Jn]
+        if F >= 4:
+            Jt1 = project(1)
+            Jt2 = project(2)
+            f0 = fc[:, 0, :][:, None, :]
+            f1 = fc[:, 1, :][:, None, :]
+            facets = [
+                Jn + f0 * Jt1, Jn - f0 * Jt1,
+                Jn + f1 * Jt2, Jn - f1 * Jt2,
+            ]
+        if F >= 6:
+            dm = m2 - m1
+            Jr = [a[i] * dm for i in range(3)]
+            def projectr(row):
+                n0 = fr[:, row, 0, :][:, None, :]
+                n1 = fr[:, row, 1, :][:, None, :]
+                n2 = fr[:, row, 2, :][:, None, :]
+                return n0 * Jr[0] + n1 * Jr[1] + n2 * Jr[2]
+            Jtn = projectr(0)
+            f2 = fc[:, 2, :][:, None, :]
+            facets += [Jn + f2 * Jtn, Jn - f2 * Jtn]
+        if F == 10:
+            Jr1_ = projectr(1)
+            Jr2_ = projectr(2)
+            f3 = fc[:, 3, :][:, None, :]
+            f4 = fc[:, 4, :][:, None, :]
+            facets += [
+                Jn + f3 * Jr1_, Jn - f3 * Jr1_,
+                Jn + f4 * Jr2_, Jn - f4 * Jr2_,
+            ]
+        rows_t = jnp.stack(facets, axis=1).reshape(S * F, nv, B)
+        J_t = jnp.concatenate([t(J_s), rows_t], axis=0)   # (E, nv, B)
+
+        # ---- (B, E) coefficient maps (dense batch-major), then transpose
+        oks = [cd_sel >= 1]
+        if F >= 4:
+            oks = [cd_sel >= 3] * 4
+        if F >= 6:
+            oks += [cd_sel >= 4] * 2
+        if F == 10:
+            oks += [cd_sel >= 6] * 4
+        ok = jnp.stack(oks, axis=-1)                      # (B, S, F)
+        ok = ok | (jnp.arange(F)[None, None, :] == 0)
+        active_cf = act_c[:, :, None] & ok                # (B, S, F)
+
+        pos, kimp, bref, rcoef, active, floss = _row_maps(
+            pos_s, solref_s, solimp_s, floss_s, active_s.astype(dt),
+            dist_c, margin_c, solref_c, solimp_c, active_cf,
+        )
+
+        x0w = x0
+        inputs = dict(
+            J=J_t, pos=t(pos), kimp=t(kimp), bref=t(bref), rcoef=t(rcoef),
+            active=t(active), floss=t(floss),
+            M=t(qM), Minv=t(Minv), qvel=t(qvel), qs=t(qs), x0=t(x0w),
+        )
+        from robogym_tpu.physics import constraint as cl
+
+        kind_full = np.concatenate(
+            [kind_s, np.full(S * F, cl.ONESIDED, np.int32)]
+        )
+        x_t, f_t, qfrc_t = cg_kernel.solve_cg_full(
+            kind_full, iterations, inputs
+        )
+        back = lambda x: jnp.moveaxis(x, -1, 0)
+        return (back(x_t), back(qfrc_t), back(f_t)), (True, True, True)
+
+    return solve

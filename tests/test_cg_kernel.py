@@ -42,17 +42,17 @@ def test_pallas_cg_matches_scan(B, nefc, nv):
         rng, B, nefc, nv
     )
     iters = 12
-    core = constraint._make_cg_core(kind.tobytes(), iters)
-    x_ref, f_ref = jax.vmap(
-        lambda *a: core(*a)
-    )(*map(jnp.asarray, (J, aref, D, floss, M, Minv, qs, x0)))
+    core = constraint._make_cg_core(iters)
+    Deq, Done, Dfr = constraint.kind_masked_D(kind, jnp.asarray(D))
+    args = (jnp.asarray(J), jnp.asarray(aref), Deq, Done, Dfr,
+            jnp.asarray(floss), jnp.asarray(M), jnp.asarray(Minv),
+            jnp.asarray(qs), jnp.asarray(x0))
+    x_ref, f_ref = jax.vmap(lambda *a: core(*a))(*args)
 
     old = cg_kernel.INTERPRET
     cg_kernel.INTERPRET = True
     try:
-        x_k, f_k = cg_kernel.solve_cg_batched(
-            kind, iters, *map(jnp.asarray, (J, aref, D, floss, M, Minv, qs, x0))
-        )
+        x_k, f_k = cg_kernel.solve_cg_batched(iters, *args)
     finally:
         cg_kernel.INTERPRET = old
 
