@@ -50,11 +50,34 @@ class DactylCubeEnvConstants(core.EnvConstants):
 REFERENCE_SITE_NAMES = ["phasespace_ref0", "phasespace_ref1", "phasespace_ref2"]
 
 
-def build_cube_world_xml(cube_xml_path: str, cube_density: float = 421.0) -> MjcfXML:
+# Three fixed cameras looking at the on-palm cube from above/right/left.
+# The reference's vision rig (DEFAULT_CAMERA_NAMES, cube_utils.py:14) lives
+# in an internal cage model not shipped with the public assets, so the
+# placements here are re-derived: cube rest pose is [1.0, 0.87, ~0.25]
+# (build_cube_world_xml below); camera zaxis points from target to camera
+# (MuJoCo cameras look along local -Z).
+DACTYL_VISION_CAMERA_XML = """
+<mujoco>
+  <worldbody>
+    <camera name="vision_cam_top" pos="1.0 0.87 0.75" zaxis="0 0 1"
+            fovy="45"/>
+    <camera name="vision_cam_right" pos="1.4 0.5 0.55"
+            zaxis="0.4 -0.37 0.3" fovy="45"/>
+    <camera name="vision_cam_left" pos="0.6 0.5 0.55"
+            zaxis="-0.4 -0.37 0.3" fovy="45"/>
+  </worldbody>
+</mujoco>
+"""
+
+
+def build_cube_world_xml(cube_xml_path: str, cube_density: float = 421.0,
+                         with_vision_cams: bool = False) -> MjcfXML:
     """World composition shared by all cube envs
     (cube_env.py:172-218 + locked.py:79-96)."""
     xml = MjcfXML()
     xml.add_default_compiler_directive()
+    if with_vision_cams:
+        xml.append(MjcfXML.from_string(DACTYL_VISION_CAMERA_XML))
     xml.append(
         MjcfXML.parse(cube_xml_path)
         .remove_objects_by_name("annotation:outer_bound")
@@ -228,7 +251,13 @@ class CubeEnvBase:
     def __init__(self, constants: DactylCubeEnvConstants, dtype=jnp.float32):
         self.constants = constants
         self.dtype = dtype
-        model = compile_xml(build_cube_world_xml(self.CUBE_XML), dtype=dtype)
+        needs_cams = getattr(
+            constants, "vision_observation_provider", ""
+        ) == "raycast"
+        model = compile_xml(
+            build_cube_world_xml(self.CUBE_XML, with_vision_cams=needs_cams),
+            dtype=dtype,
+        )
         model = model.replace(
             opt=model.opt.replace(
                 timestep=jnp.asarray(constants.mujoco_timestep, dtype)

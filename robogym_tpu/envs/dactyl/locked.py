@@ -43,9 +43,10 @@ class LockedEnvConstants(cube_env.DactylCubeEnvConstants):
 
     success_threshold_cube_quat: float = 0.4
     goal_generation: str = "state"
-    # vision pathway: "" (off) or "dummy_vision" — the reference's default
-    # vision provider for locked configs (cube_env.py:295-306,
-    # observation/dummy_vision.py:11-53)
+    # vision pathway: "" (off), "dummy_vision" (the reference's default for
+    # locked configs, cube_env.py:295-306, observation/dummy_vision.py:11-53)
+    # or "raycast" (real on-device rendered images, render/raycast.py — the
+    # analogue of the locked real-image vision configs)
     vision_observation_provider: str = ""
     vision_image_size: int = 200
 
@@ -62,7 +63,54 @@ class LockedEnv(cube_env.CubeEnvBase):
     ):
         super().__init__(constants or LockedEnvConstants(), dtype=dtype)
         self.obs_stack = None
-        if self.constants.vision_observation_provider == "dummy_vision":
+        if self.constants.vision_observation_provider == "raycast":
+            # real rendered images via render/raycast.py — the TPU analogue
+            # of the reference's locked real-image vision configs
+            from robogym_tpu.observation import common as obs_common
+            from robogym_tpu.observation import dummy_vision
+            from robogym_tpu.observation import vision as vision_lib
+
+            cams = tuple(dummy_vision.DEFAULT_CAMERA_NAMES)
+            size = self.constants.vision_image_size
+            hide_tgt = vision_lib.robot_hidden_mask(self.model, ("target:",))
+            hide_all = vision_lib.robot_hidden_mask(
+                self.model, ("target:", "robot0:")
+            )
+
+            def read_vision(env, state):
+                from robogym_tpu.envs import core as env_core
+
+                m = env_core.apply_model_fields(env.model, state.model_fields)
+                return {"vision": vision_lib.render_cameras(
+                    m, state.physics, cams, size, geom_visible=hide_tgt
+                )}
+
+            def read_goal_vision(env, state):
+                from robogym_tpu.envs import core as env_core
+                from robogym_tpu.physics import step as phys
+
+                m = env_core.apply_model_fields(env.model, state.model_fields)
+                qpos = state.physics.qpos.at[
+                    jnp.asarray(env.cube.cube_rot_qpos)
+                ].set(state.goal["cube_quat"])
+                d_goal = phys.fwd_position(
+                    m, state.physics.replace(qpos=qpos)
+                )
+                return {"vision_goal": vision_lib.render_cameras(
+                    m, d_goal, cams, size, geom_visible=hide_all
+                )}
+
+            self.obs_stack = obs_common.ObservationStack({
+                "vision": obs_common.ObservationProvider(
+                    name="vision", read=read_vision,
+                    sync_type=obs_common.SyncType.STEP,
+                ),
+                "goal_vision": obs_common.ObservationProvider(
+                    name="goal_vision", read=read_goal_vision,
+                    sync_type=obs_common.SyncType.RESET_GOAL,
+                ),
+            })
+        elif self.constants.vision_observation_provider == "dummy_vision":
             from robogym_tpu.observation import common as obs_common
             from robogym_tpu.observation import dummy_vision
 
@@ -189,10 +237,14 @@ class LockedEnv(cube_env.CubeEnvBase):
             from robogym_tpu.observation.common import SyncType
 
             inner_aux, cache = goal_aux
+            # sync sees the POST-step state with the freshly resampled goal
+            # (rendering the old goal here was invisible with dummy
+            # providers but wrong for real goal images)
+            synced_state = state.replace(physics=d, goal=goal)
             cache = jax.lax.cond(
                 need_new_goal,
                 lambda c: self.obs_stack.sync(
-                    self, state, c, SyncType.RESET_GOAL
+                    self, synced_state, c, SyncType.RESET_GOAL
                 ),
                 lambda c: {k: v for k, v in c.items()},
                 cache,

@@ -57,6 +57,15 @@ class RearrangeEnvConstants(core.EnvConstants):
     goal_args: Tuple[Tuple[str, object], ...] = ()
     stabilize_objects: bool = True
     stabilize_steps: int = 5   # reference: 100 zero-ctrl settle steps
+    # vision pathway (common/base.py:88-101 VisionArgs): raycast-rendered
+    # camera observations (render/raycast.py). The reference's RESET_GOAL
+    # cadence for goal images collapses into the jitted observe — the image
+    # is a pure function of qpos_goal, so pixels are identical.
+    vision: bool = False
+    vision_image_size: int = 200
+    vision_camera_names: Tuple[str, ...] = ("vision_cam_front",)
+    vision_mobile_camera_names: Tuple[str, ...] = ("vision_cam_wrist",)
+    goal_hide_robot: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -549,7 +558,7 @@ class BlocksRearrangeEnv:
             goal_achieved = goal_achieved & jnp.all(
                 jnp.where(active, dist[k] < thr, True)
             )
-        return {
+        obs = {
             "obj_pos": obj_pos * mask,
             "obj_rot": jax.vmap(rot.quat2euler)(obj_quat) * mask,
             "obj_vel_pos": obj_vel[:, 3:] * mask,
@@ -584,6 +593,37 @@ class BlocksRearrangeEnv:
             "safety_stop": safety_stop.astype(self.dtype)[None],
             "is_goal_achieved": goal_achieved.astype(self.dtype)[None],
         }
+        if self.constants.vision:
+            obs.update(self._observe_vision(m, d, obs["qpos_goal"]))
+        return obs
+
+    def _observe_vision(self, m, d, qpos_goal) -> Dict[str, jax.Array]:
+        """vision_obs / vision_obs_mobile / vision_goal image observations
+        (common/base.py:230-296 provider wiring, keys base.py:61-63)."""
+        from robogym_tpu.observation import vision as vision_lib
+
+        cst = self.constants
+        size = cst.vision_image_size
+        out = {
+            "vision_obs": vision_lib.render_cameras(
+                m, d, cst.vision_camera_names, size
+            ),
+            "vision_obs_mobile": vision_lib.render_cameras(
+                m, d, cst.vision_mobile_camera_names, size
+            ),
+        }
+        d_goal = d.replace(qpos=qpos_goal)
+        d_goal = physics.fwd_position(m, d_goal)
+        vis = (
+            vision_lib.robot_hidden_mask(
+                m, ("robot0:",) + tuple(self.idx.GRIPPER_BODIES)
+            )
+            if cst.goal_hide_robot else None
+        )
+        out["vision_goal"] = vision_lib.render_cameras(
+            m, d_goal, cst.vision_camera_names, size, geom_visible=vis
+        )
+        return out
 
 
 def make_env(

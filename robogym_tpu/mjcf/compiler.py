@@ -90,6 +90,7 @@ _PAIR_NCON = {
 }
 
 MAX_HULL_VERTS = 64
+MAX_HULL_FACES = 64  # raycast-render face-plane budget (mesh.hull_face_planes)
 
 
 def _floats(s: Optional[str], n: Optional[int] = None, default=None) -> np.ndarray:
@@ -182,6 +183,7 @@ class _Compiler:
         self.joints: List[dict] = []
         self.geoms: List[dict] = []
         self.sites: List[dict] = []
+        self.cameras: List[dict] = []
         self.tendons: List[dict] = []
         self.wraps: List[dict] = []
         self.actuators: List[dict] = []
@@ -323,7 +325,9 @@ class _Compiler:
             self.parse_site(node, parent_id, childclass)
         elif node.tag in ("joint", "freejoint"):
             self.parse_joint(node, parent_id, childclass)
-        # camera/light ignored (no rasterizer on the physics path)
+        elif node.tag == "camera":
+            self.parse_camera(node, parent_id, childclass)
+        # light ignored (render/raycast.py uses fixed headlight shading)
 
     def parse_body(self, node: et.Element, parent_id: int, childclass, depth: int):
         cls = node.get("childclass", childclass)
@@ -500,6 +504,27 @@ class _Compiler:
                 pos=_floats(node.get("pos", self.class_attrs("site", cls).get("pos")), 3, default=[0, 0, 0]),
                 quat=self.orient(node, self.class_attrs("site", cls)),
                 size=size,
+            )
+        )
+
+    def parse_camera(self, node: et.Element, body_id: int, childclass):
+        """Fixed-mode <camera>: pose in the parent body frame + fovy.
+
+        MuJoCo frame convention (consumed by render/raycast.py): the camera
+        looks along its local -Z axis, +X right, +Y up; `fovy` is the
+        vertical field of view in degrees. Reference counterpart: OpenGL
+        offscreen rendering of these cameras (robogym uses e.g.
+        assets/xmls/robot/ur16e/base.xml vision_cam_front)."""
+        cls = node.get("class", childclass)
+        attrs = self.class_attrs("camera", cls)
+        self.cameras.append(
+            dict(
+                name=node.get("name", f"camera{len(self.cameras)}"),
+                body=body_id,
+                pos=_floats(node.get("pos", attrs.get("pos")), 3,
+                            default=[0, 0, 0]),
+                quat=self.orient(node, attrs),
+                fovy=float(node.get("fovy", attrs.get("fovy", 45.0))),
             )
         )
 
@@ -928,9 +953,12 @@ class _Compiler:
                     for j in self.joints
                 ]
             ) if self.joints else np.zeros(0, bool),
+            ncam=len(self.cameras),
+            cam_bodyid=np.array([c["body"] for c in self.cameras], np.int32),
             names=dict(
                 body=name2body, joint=name2joint, geom=name2geom, site=name2site,
                 tendon=name2tendon, actuator=name2act, mesh=name2mesh,
+                camera={c["name"]: i for i, c in enumerate(self.cameras)},
             ),
         )
 
@@ -953,12 +981,17 @@ class _Compiler:
         hull_v = np.zeros((max(nmesh, 1), MAX_HULL_VERTS, 3))
         hull_m = np.zeros((max(nmesh, 1), MAX_HULL_VERTS))
         hull_c = np.zeros((max(nmesh, 1), 3))
+        face_p = np.zeros((max(nmesh, 1), MAX_HULL_FACES, 4))
+        face_m = np.zeros((max(nmesh, 1), MAX_HULL_FACES))
         for name, mid in self.mesh_ids.items():
             hull = self.mesh_assets[name]["loaded"]["hull"]
             k = min(len(hull), MAX_HULL_VERTS)
             hull_v[mid, :k] = hull[:k]
             hull_m[mid, :k] = 1.0
             hull_c[mid] = hull[:k].mean(axis=0)
+            planes = mesh_lib.hull_face_planes(hull[:k], MAX_HULL_FACES)
+            face_p[mid, : len(planes)] = planes
+            face_m[mid, : len(planes)] = 1.0
 
         asnp = lambda key, arrs, width=None: (
             np.asarray([a[key] for a in arrs])
@@ -1023,6 +1056,11 @@ class _Compiler:
             mesh_convex_vert=jnp.asarray(hull_v, dtype),
             mesh_convex_mask=jnp.asarray(hull_m, dtype),
             mesh_convex_center=jnp.asarray(hull_c, dtype),
+            mesh_face_plane=jnp.asarray(face_p, dtype),
+            mesh_face_mask=jnp.asarray(face_m, dtype),
+            cam_pos=jnp.asarray(asnp("pos", self.cameras, 3), dtype),
+            cam_quat=jnp.asarray(asnp("quat", self.cameras, 4), dtype),
+            cam_fovy=jnp.asarray(asnp("fovy", self.cameras), dtype),
             tendon_range=jnp.asarray(asnp("range", T, 2), dtype),
             tendon_stiffness=jnp.asarray(asnp("stiffness", T), dtype),
             tendon_damping=jnp.asarray(asnp("damping", T), dtype),

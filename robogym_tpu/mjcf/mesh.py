@@ -138,6 +138,52 @@ def convex_hull(verts: np.ndarray, max_verts: int = 64) -> np.ndarray:
     return np.asarray(hv[sel], dtype=np.float64)
 
 
+def hull_face_planes(verts: np.ndarray, max_faces: int = 64) -> np.ndarray:
+    """Face half-planes of the convex hull of `verts`, for raycast rendering
+    (render/raycast.py): rows [nx ny nz off] with n·x + off <= 0 inside.
+
+    Coplanar triangle faces are merged (qhull emits triangulated facets);
+    if more than `max_faces` remain, the largest-area faces are kept — the
+    render silhouette degrades gracefully while containment stays convex
+    (dropping a plane only ever GROWS the shape)."""
+    verts = np.asarray(verts, np.float64)
+    if len(verts) < 4:
+        # degenerate: box the points
+        lo, hi = verts.min(0) - 1e-4, verts.max(0) + 1e-4
+        eye = np.eye(3)
+        return np.concatenate(
+            [np.concatenate([eye, -hi[:, None]], 1),
+             np.concatenate([-eye, lo[:, None]], 1)]
+        )
+    try:
+        hull = ConvexHull(verts)
+    except Exception:
+        lo, hi = verts.min(0) - 1e-4, verts.max(0) + 1e-4
+        eye = np.eye(3)
+        return np.concatenate(
+            [np.concatenate([eye, -hi[:, None]], 1),
+             np.concatenate([-eye, lo[:, None]], 1)]
+        )
+    eqs = hull.equations  # (F, 4), n·x + off <= 0 inside, |n| = 1
+    # merge coplanar facets (same plane up to tolerance), accumulate area
+    areas = {}
+    pts = verts[hull.simplices]
+    tri_area = 0.5 * np.linalg.norm(
+        np.cross(pts[:, 1] - pts[:, 0], pts[:, 2] - pts[:, 0]), axis=1
+    )
+    kept: list = []
+    for i, eq in enumerate(eqs):
+        key = tuple(np.round(eq, 5))
+        if key in areas:
+            areas[key] += tri_area[i]
+        else:
+            areas[key] = tri_area[i]
+            kept.append((key, eq))
+    kept.sort(key=lambda ke: -areas[ke[0]])
+    planes = np.asarray([eq for _, eq in kept[:max_faces]])
+    return planes
+
+
 def load_msh(path: str):
     """MuJoCo legacy binary .msh: [nvertex, nnormal, ntexcoord, nface] int32
     header then float32 vertex/normal/texcoord blocks and int32 faces

@@ -225,6 +225,10 @@ class ModelConst:
     # (nv,) static: dof has a friction-loss constraint row
     dof_has_frictionloss: np.ndarray = None
 
+    # cameras (render/raycast.py)
+    ncam: int = 0
+    cam_bodyid: np.ndarray = None  # (ncam,)
+
     # name tables (host-side lookups, analogue of mj_name2id)
     names: Dict[str, Dict[str, int]] = dataclasses.field(default_factory=dict)
 
@@ -381,6 +385,20 @@ class Model(_Replaceable):
     eq_data: jax.Array         # (neq, 11)
     eq_solref: jax.Array       # (neq, 2)
     eq_solimp: jax.Array       # (neq, 5)
+
+    # cameras (fixed-mode <camera> elements; reference renders them via
+    # OpenGL offscreen — here render/raycast.py consumes these directly on
+    # device). Traced so camera pose/fov can be domain-randomized per env.
+    cam_pos: Optional[jax.Array] = None    # (ncam, 3) local to parent body
+    cam_quat: Optional[jax.Array] = None   # (ncam, 4)
+    cam_fovy: Optional[jax.Array] = None   # (ncam,) vertical fov, degrees
+
+    # mesh convex-hull FACE planes for raycast rendering: a point x (mesh
+    # local frame) is inside iff n.x + off <= 0 for all valid faces.
+    # Parallel to mesh_convex_vert so per-episode hull-bank swaps
+    # (envs/rearrange/mesh.py) can swap these too.
+    mesh_face_plane: Optional[jax.Array] = None  # (nmesh, MAXF, 4) [n|off]
+    mesh_face_mask: Optional[jax.Array] = None   # (nmesh, MAXF) 1.0 valid
 
     # explicit contact pair overrides could be added here later
 

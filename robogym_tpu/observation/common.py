@@ -62,14 +62,12 @@ class ObservationStack:
              sync_type: SyncType = SyncType.STEP) -> Dict[str, Any]:
         out = dict(cached or {})
         for name, p in self.providers.items():
-            if p.sync_type.value >= sync_type.value or name not in out:
-                if sync_type.value <= p.sync_type.value:
-                    out[name] = p.read(env, state)
-                elif name not in out:
-                    out[name] = p.read(env, state)
-        # STEP providers always refresh
-        for name, p in self.providers.items():
-            if p.sync_type == SyncType.STEP:
+            # refresh when the provider's cadence is due at this sync level;
+            # also populate any missing entry (first RESET) so the cache
+            # pytree has a stable structure across lax.cond branches. STEP
+            # providers are read directly at observe time — their cache
+            # entry is never consumed, only structural.
+            if sync_type.value <= p.sync_type.value or name not in out:
                 out[name] = p.read(env, state)
         return out
 

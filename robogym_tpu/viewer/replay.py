@@ -3,10 +3,10 @@
 The reference viewer stack (GLFW windows:
 /root/reference/robogym/viewer/env_viewer.py:13-168,
 robot_control_viewer.py:18-130) has no display on a TPU host. The TPU-native
-replacement renders recorded or live qpos trajectories OFFSCREEN through the
-MuJoCo 3 python bindings (the same engine the conformance harness trusts),
-from the env's stashed source XML — frames come back as numpy images for
-notebooks, videos, or disk.
+replacement renders recorded or live qpos trajectories offscreen — through
+the MuJoCo 3 python bindings when GL is available, or through the built-in
+analytic raycaster (render/raycast.py) on GL-less hosts — from the env's
+own Model. Frames come back as numpy images for notebooks, videos, or disk.
 
   * `render_trajectory(env, qpos_traj)` -> (T, H, W, 3) uint8 frames
   * `EnvReplayViewer(env).run(n_steps)` — examine-style live loop that
@@ -60,9 +60,81 @@ def render_trajectory(
     width: int = 320,
     height: int = 240,
     camera: Optional[str] = None,
+    backend: str = "auto",
 ) -> np.ndarray:
-    """Render a (T, nq) qpos trajectory to (T, H, W, 3) uint8 frames via the
-    MuJoCo 3 offscreen renderer."""
+    """Render a (T, nq) qpos trajectory to (T, H, W, 3) uint8 frames.
+
+    backend: "mujoco" (GL offscreen, needs EGL/OSMesa), "raycast" (the
+    on-device analytic renderer, render/raycast.py — works on GL-less
+    hosts like this one), or "auto" (mujoco if GL is available, else
+    raycast)."""
+    if backend == "raycast":
+        return _render_trajectory_raycast(env, qpos_traj, width, height,
+                                          camera)
+    if backend == "auto":
+        try:
+            return _render_trajectory_mujoco(env, qpos_traj, width, height,
+                                             camera)
+        except Exception:
+            return _render_trajectory_raycast(env, qpos_traj, width, height,
+                                              camera)
+    return _render_trajectory_mujoco(env, qpos_traj, width, height, camera)
+
+
+def _render_trajectory_raycast(env, qpos_traj, width, height,
+                               camera) -> np.ndarray:
+    """GL-free path: forward kinematics + render/raycast.py per frame.
+    Uses the named <camera> if given, camera 0 if compiled in, else a free
+    look-at camera framing the scene's geom bbox."""
+    import jax
+    import jax.numpy as jnp
+
+    from robogym_tpu.mjcf.model import make_data
+    from robogym_tpu.physics import step as phys
+    from robogym_tpu.render import raycast
+
+    m = env.model
+    d0 = make_data(m, dtype=jnp.float32)
+
+    if camera is not None:
+        cam = raycast.camera_id(m, camera)
+        fn = lambda d: raycast.render_uint8(m, d, cam, height, width)
+    elif m.const.ncam > 0:
+        fn = lambda d: raycast.render_uint8(m, d, 0, height, width)
+    else:
+        d_probe = phys.fwd_position(
+            m, d0.replace(qpos=jnp.asarray(qpos_traj[0], jnp.float32))
+        )
+        gp = np.asarray(d_probe.geom_xpos)
+        center = gp.mean(axis=0)
+        radius = float(np.linalg.norm(gp - center, axis=1).max()) + 0.3
+        eye = center + np.asarray([radius, -radius, 0.8 * radius])
+        cpos, cmat = raycast.lookat_pose(eye, center)
+
+        def fn(d):
+            return (jnp.clip(
+                raycast.render_rgb_pose(m, d, cpos, cmat, 45.0, height,
+                                        width), 0.0, 1.0
+            ) * 255.0 + 0.5).astype(jnp.uint8)
+
+    render = jax.jit(lambda q: fn(
+        phys.fwd_position(m, d0.replace(qpos=q))
+    ))
+    frames = [
+        np.asarray(render(jnp.asarray(q, jnp.float32)))
+        for q in np.asarray(qpos_traj)
+    ]
+    return np.stack(frames)
+
+
+def _render_trajectory_mujoco(
+    env,
+    qpos_traj: np.ndarray,
+    width: int = 320,
+    height: int = 240,
+    camera: Optional[str] = None,
+) -> np.ndarray:
+    """MuJoCo 3 offscreen renderer path (requires GL)."""
     import mujoco
 
     mj_model = _mj_model_for(env)
