@@ -95,6 +95,10 @@ class RearrangeEnvParameters:
         )
     )
     n_random_initial_steps: int = 10
+    # per-group material sampling (common/base.py:568-585): () disables;
+    # ("all",) samples from every materials/*.jsonnet; otherwise the named
+    # subset. Materials land as per-episode Model field rows (materials.py).
+    material_names: Tuple[str, ...] = ()
 
 
 class BlocksRearrangeEnv:
@@ -126,6 +130,15 @@ class BlocksRearrangeEnv:
         self.idx = idx
         self.robot = composite_lib.CompositeIndex.build(model, rcp)
         self.action_size = self.robot.action_size
+
+        mat_names = self.parameters.material_names
+        if mat_names:
+            from robogym_tpu.envs.rearrange import materials as materials_lib
+            if mat_names == ("all",):
+                mat_names = tuple(materials_lib.load_all_materials())
+            self._material_table = materials_lib.MaterialTable(mat_names)
+        else:
+            self._material_table = None
 
         # mocap_ik: second (solver) sim — joint-actuated main arm driven by
         # the mocap-weld solver arm's joint response, both inside one jitted
@@ -213,10 +226,11 @@ class BlocksRearrangeEnv:
     def _compile_world(self, sp, rcp):
         """Subclass hook: compile the world Model + index (mesh envs build
         mesh-object slots here instead of blocks)."""
-        return sim_lib.compile_blocks_world(
+        model, idx = sim_lib.compile_blocks_world(
             sp.max_num_objects, sp.object_size, rcp,
             self.constants.mujoco_timestep, dtype=self.dtype,
         )
+        return sim_lib.scale_contact_budgets(model, sp.max_num_objects), idx
 
     @property
     def num_objects(self) -> int:
@@ -296,12 +310,23 @@ class BlocksRearrangeEnv:
         """Subclass hook for per-episode Model randomization (the TPU
         replacement for sim recreation, e.g. mesh-candidate selection in
         mesh.py). Returns (model_fields-or-None, object half sizes)."""
-        _, colors = self._sample_object_groups(key)
+        k_grp, k_mat = jax.random.split(key)
+        group_ids, colors = self._sample_object_groups(k_grp)
         fields = {
             "geom_rgba": self.model.geom_rgba.at[
                 jnp.asarray(self.idx.object_geom_ids)
             ].set(colors)
         }
+        if self._material_table is not None:
+            # one material per GROUP (base.py:568-585), gathered per object
+            tbl = self._material_table
+            O = self.max_num_objects
+            group_mat = jax.random.randint(k_mat, (O,), 0, len(tbl.names))
+            mat_idx = group_mat[jnp.clip(group_ids, 0, O - 1)]
+            fields.update(tbl.model_fields(
+                self.model, self.idx.object_geom_ids,
+                self.idx.object_body_ids, mat_idx,
+            ))
         return fields, self._object_half_sizes()
 
     def reset(self, key: jax.Array) -> Tuple[core.EnvState, Dict]:

@@ -78,6 +78,11 @@ class ComposerRearrangeEnv(mesh_env_lib.MeshRearrangeEnv):
             """
             xml.append(MjcfXML.from_string(src))
         model = compile_xml(xml, dtype=self.dtype)
+        # composed objects have up to K subgeoms each
+        model = sim_lib.scale_contact_budgets(
+            model, sp.max_num_objects,
+            sp.max_num_objects * (self.constants.max_geoms_per_object - 1),
+        )
         return model, sim_lib.RearrangeIndex.build(model, sp.max_num_objects)
 
     def __init__(self, constants=None, parameters=None, mesh_names=None,

@@ -37,6 +37,7 @@ class DominosRearrangeEnv(blocks_lib.BlocksRearrangeEnv):
         for i in range(sp.max_num_objects):
             xml.append(sim_lib.make_block_xml(f"object{i}", skewed))
         model = compile_xml(xml, dtype=self.dtype)
+        model = sim_lib.scale_contact_budgets(model, sp.max_num_objects)
         return model, sim_lib.RearrangeIndex.build(model, sp.max_num_objects)
 
 

@@ -165,6 +165,9 @@ class HoldoutRearrangeEnv(blocks_lib.BlocksRearrangeEnv):
                     cfg.get("tag_args", {}), cfg.get("material_args", {}),
                 ))
         model = compile_xml(xml, dtype=self.dtype)
+        n_scene = sum(int(c.get("count", 1))
+                      for c in self._scene_object_configs)
+        model = sim_lib.scale_contact_budgets(model, i, n_scene)
         return model, sim_lib.RearrangeIndex.build(model, i)
 
     def _reset_model_fields(self, key):

@@ -223,6 +223,7 @@ class MeshRearrangeEnv(blocks_lib.BlocksRearrangeEnv):
                 )
             )
         model = compile_xml(xml, dtype=self.dtype)
+        model = sim_lib.scale_contact_budgets(model, sp.max_num_objects)
         return model, sim_lib.RearrangeIndex.build(model, sp.max_num_objects)
 
     # -- per-episode mesh selection (the _recreate_sim analogue) --------

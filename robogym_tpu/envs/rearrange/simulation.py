@@ -391,3 +391,27 @@ def compile_solver_world(
         0, robot_control_params=solver_params, mujoco_timestep=mujoco_timestep
     )
     return compile_xml(xml, dtype=dtype)
+
+
+def scale_contact_budgets(model: Model, n_objects: int,
+                          n_extra_bodies: int = 0) -> Model:
+    """Raise the static contact budgets for dense multi-object scenes.
+
+    The Option defaults (ncon_active=32, group_cap=48) are tuned for the
+    dactyl hand worlds. A rearrange scene with O resting objects needs
+    ~4 rows per object-table manifold plus object-object stacks — a
+    20-domino holdout starves at 32 rows and visibly drifts. This is the
+    static-shape analogue of the reference's per-env nconmax sizing
+    (cube_env.py:229-243). No-op (returns `model` unchanged) when the
+    defaults already suffice, so small worlds keep the tuned fast path."""
+    n = n_objects + n_extra_bodies
+    # ~4 deep rows per resting manifold + headroom for stacks/gripper
+    ncon = ((16 + 5 * n + 7) // 8) * 8
+    cap = ((32 + 4 * n + 7) // 8) * 8
+    ncon = max(model.opt.ncon_active, ncon)
+    cap = max(model.opt.group_cap, cap)
+    if (ncon, cap) == (model.opt.ncon_active, model.opt.group_cap):
+        return model
+    return model.replace(
+        opt=model.opt.replace(ncon_active=ncon, group_cap=cap)
+    )

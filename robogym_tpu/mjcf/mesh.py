@@ -221,3 +221,48 @@ def load_mesh_asset(path: str, scale: np.ndarray) -> dict:
         hull=hull,
         name=os.path.basename(path),
     )
+
+
+def vertices_bounding_box(vertices: np.ndarray):
+    """(pos, half_size, norm(half_size)) of the vertex AABB
+    (reference robogym/utils/mesh.py:7-14 get_vertices_bounding_box)."""
+    lo = vertices.min(axis=0)
+    hi = vertices.max(axis=0)
+    half = (hi - lo) / 2.0
+    return lo + half, half, float(np.linalg.norm(half))
+
+
+def subdivide_mesh(vertices: np.ndarray, faces: np.ndarray,
+                   subdivide_threshold: float) -> np.ndarray:
+    """Midpoint-subdivide triangles until every edge is shorter than
+    norm(bbox_half_size) * subdivide_threshold; returns the new vertex set
+    (reference robogym/utils/mesh.py:16-32, trimesh.remesh.subdivide_to_size
+    semantics — used to densify sparse meshes before vertex-based goal
+    distances). Pure numpy, host-side (runs at env build time)."""
+    max_edge = vertices_bounding_box(vertices)[2] * subdivide_threshold
+    v = np.asarray(vertices, np.float64)
+    f = np.asarray(faces, np.int64).reshape(-1, 3)
+    for _ in range(12):  # each pass halves edge lengths; 2^12 headroom
+        tri = v[f]                                   # (F, 3, 3)
+        e = np.linalg.norm(tri - np.roll(tri, -1, axis=1), axis=2)  # (F, 3)
+        too_long = (e > max_edge).any(axis=1)
+        if not too_long.any():
+            break
+        keep, split = f[~too_long], f[too_long]
+        # midpoints of the 3 edges of every split face, deduplicated
+        pairs = np.concatenate(
+            [split[:, [0, 1]], split[:, [1, 2]], split[:, [2, 0]]], axis=0
+        )
+        pairs.sort(axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        mids = (v[uniq[:, 0]] + v[uniq[:, 1]]) / 2.0
+        mid_id = len(v) + inv.reshape(3, -1)          # (3, S) new vertex ids
+        v = np.concatenate([v, mids], axis=0)
+        a, b, c = split[:, 0], split[:, 1], split[:, 2]
+        ab, bc, ca = mid_id[0], mid_id[1], mid_id[2]
+        f = np.concatenate([
+            keep,
+            np.stack([a, ab, ca], 1), np.stack([ab, b, bc], 1),
+            np.stack([ca, bc, c], 1), np.stack([ab, bc, ca], 1),
+        ], axis=0)
+    return v.astype(vertices.dtype)

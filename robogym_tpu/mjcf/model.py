@@ -293,6 +293,10 @@ class Option(_Replaceable):
     # `ncon_active` deepest contact slots before building Jacobians (the
     # fixed-size analogue of MuJoCo's nconmax, cube_env.py:229-243)
     ncon_active: int = dataclasses.field(metadata=dict(static=True), default=32)
+    # broadphase active-PAIR budget per narrowphase group (lax.top_k size in
+    # collision/driver.py). Dense multi-object scenes (20-domino holdouts)
+    # need more resting pairs than the hand worlds the default is tuned for.
+    group_cap: int = dataclasses.field(metadata=dict(static=True), default=48)
     # constraint solver: "newton" (per-iteration Hessian Cholesky) or "cg"
     # (preconditioned nonlinear CG, MuJoCo mjSOL_CG analogue - the fast path
     # on TPU where batched small Choleskys are slow)
@@ -508,7 +512,7 @@ def make_data(model: Model, dtype=jnp.float32, qpos0: Optional[np.ndarray] = Non
     if c.collision_pairs.size:
         from robogym_tpu.physics.collision import driver as _driver
 
-        ncon = _driver.n_contact_slots(c)
+        ncon = _driver.n_contact_slots(c, model.opt.group_cap)
     else:
         ncon = 0
 

@@ -114,6 +114,10 @@ def build_groups(const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP):
         grp["condim"] = np.asarray(grp["condim"], np.int32)
         n = len(grp["g1"])
         cap = KIND_GROUP_CAP.get(grp["kind"], group_cap)
+        if group_cap > DEFAULT_GROUP_CAP:
+            # dense scenes (opt.group_cap raised by the env) scale the
+            # kind-specific caps proportionally too
+            cap = max(cap, cap * group_cap // DEFAULT_GROUP_CAP)
         grp["K"] = min(n, cap)
         out.append(grp)
     return out

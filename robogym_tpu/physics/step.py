@@ -31,7 +31,7 @@ def fwd_position(m: Model, d: Data) -> Data:
     d = smooth.com_pos(m, d)
     d = smooth.crb(m, d)
     d = smooth.tendon(m, d)
-    d = collision_driver.collision(m, d)
+    d = collision_driver.collision(m, d, m.opt.group_cap)
     return d
 
 

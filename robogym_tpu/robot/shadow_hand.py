@@ -154,3 +154,72 @@ def denormalize_position_control(
 def zero_control() -> jax.Array:
     """(hand_interface: flat straightened hand)."""
     return jnp.zeros(len(ACTUATORS))
+
+
+# ---------------------------------------------------------------------------
+# Effort (torque) control mode
+# ---------------------------------------------------------------------------
+
+
+def normalize_by_limits(values: jax.Array, limits: jax.Array) -> jax.Array:
+    """Scale `values` into [-1, 1] by asymmetric `limits` (N, 2), keeping 0
+    fixed (hand_utils.py:21-28). Used for the actuator_effort observation."""
+    return jnp.where(values < 0,
+                     jnp.abs(values) / limits[:, 0],
+                     values / limits[:, 1])
+
+
+def denormalize_by_limit(interpolation: jax.Array,
+                         limits: jax.Array) -> jax.Array:
+    """[-1, 1] -> asymmetric limits (N, 2), keeping 0 fixed
+    (hand_utils.py:12-18)."""
+    return jnp.where(interpolation < 0,
+                     limits[:, 0] * jnp.abs(interpolation),
+                     limits[:, 1] * interpolation)
+
+
+def effort_control_model(idx: HandIndex, m: Model) -> Model:
+    """Swap the hand actuators into effort (direct-torque) mode.
+
+    The reference flips the SAME MjModel between modes per control call
+    (mujoco_shadow_hand.py:139-156: gaintype->FIXED, biastype->NONE,
+    gainprm[:,0]=1, biasprm=0, ctrlrange=[-1,1]). Gain/bias TYPES are
+    compile-time structure here (the actuator partition in
+    physics/actuation.py is static), so the TPU-native equivalent is a
+    static model transform: build the effort-mode Model once and jit the
+    step against it. Runtime gain ARRAYS change alongside so
+    `actuation()`'s plain-actuator branch computes f = 1.0 * ctrl.
+    """
+    c = m.const
+    ids = np.asarray(idx.actuator_ids)
+    gt = c.actuator_gaintype.copy()
+    bt = c.actuator_biastype.copy()
+    from robogym_tpu.mjcf.model import BiasType, GainType
+    gt[ids] = GainType.FIXED
+    bt[ids] = BiasType.NONE
+    const = dataclasses.replace(c, actuator_gaintype=gt, actuator_biastype=bt)
+    jids = jnp.asarray(ids)
+    gp = m.actuator_gainprm.at[jids, 0].set(1.0)
+    bp = m.actuator_biasprm.at[jids].set(0.0)
+    cr = m.actuator_ctrlrange.at[jids, 0].set(-1.0).at[jids, 1].set(1.0)
+    return m.replace(const=const, actuator_gainprm=gp, actuator_biasprm=bp,
+                     actuator_ctrlrange=cr)
+
+
+def set_effort_control(idx: HandIndex, m: Model, d: Data,
+                       control: jax.Array) -> jax.Array:
+    """[-1,1]^20 effort command -> full ctrl vector: efforts denormalized by
+    the per-actuator force limits (mujoco_shadow_hand.py:139-156). Use with
+    a Model from `effort_control_model` so ctrl is force directly."""
+    force_limits = m.actuator_forcerange[jnp.asarray(idx.actuator_ids)]
+    force = denormalize_by_limit(control, force_limits)
+    return d.ctrl.at[jnp.asarray(idx.actuator_ids)].set(force)
+
+
+def actuator_effort(idx: HandIndex, m: Model, d: Data) -> jax.Array:
+    """(20,) applied actuator force normalized to [-1, 1] by forcerange —
+    the MuJoCoObservation.actuator_effort channel
+    (mujoco_shadow_hand.py:44-55)."""
+    ids = jnp.asarray(idx.actuator_ids)
+    return normalize_by_limits(d.actuator_force[ids],
+                               m.actuator_forcerange[ids])
