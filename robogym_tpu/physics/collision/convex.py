@@ -40,8 +40,14 @@ for _i in range(len(_ico)):
             _mid.append((_ico[_i] + _ico[_j]) / 2)
 _DIRS = _np.concatenate([_ico, _np.asarray(_mid).reshape(-1, 3)], axis=0)
 _DIRS = _DIRS / _np.linalg.norm(_DIRS, axis=1, keepdims=True)
-DIRS42 = jnp.asarray(_DIRS)  # (42, 3)
-DIRS12 = jnp.asarray(_ico / _np.linalg.norm(_ico, axis=1, keepdims=True))  # (12, 3)
+# kept as NUMPY: an eager jnp op at import would initialize the (remote)
+# TPU backend before the caller can pick a platform — ~100s stall and a
+# hard failure when the tunnel is down. Converted to device arrays inside
+# the traced functions that consume them.
+DIRS42 = _DIRS.astype(_np.float32)  # (42, 3)
+DIRS12 = (_ico / _np.linalg.norm(_ico, axis=1, keepdims=True)).astype(
+    _np.float32
+)  # (12, 3)
 
 
 def support_hull(verts: jax.Array, mask: jax.Array, direction: jax.Array) -> jax.Array:
