@@ -13,11 +13,13 @@ parallelism lived outside the repo). Two equivalent paths:
     `dp` axis (collectives ride ICI). Exercised on the virtual 8-device
     CPU mesh in tests/test_parallel.py.
 
-Multi-host status: single-process only in this environment (one tunneled
-chip; no second host to run `jax.distributed.initialize` against). Both
-paths are written against a `Mesh`, so a multi-host mesh built after
-`jax.distributed.initialize` slots in unchanged — but that configuration is
-NOT exercised here.
+Multi-host status: exercised in-process-count=2 form by
+tests/test_multihost.py — two worker processes each owning 4 virtual CPU
+devices join a `jax.distributed.initialize` cluster, build the global
+8-device mesh with `parallel.mesh.make_mesh`, and run a shard_map physics
+rollout whose pmean-reduced metrics must agree across processes and match a
+single-process run. On TPU hardware the same code path scales to a real
+multi-host slice (ICI/DCN collectives instead of the CPU transport).
 """
 
 from __future__ import annotations
