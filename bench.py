@@ -43,6 +43,13 @@ def build_env(name: str):
                                                 max_num_objects=3)),
             dtype=jnp.float32,
         )
+    if name == "full_perp":
+        # BASELINE config #4: Rubik's cube, 6 driver DoF + 20 cubelets
+        from robogym_tpu.envs.dactyl.full_perpendicular import make_env
+
+        return make_env(
+            dict(goal_generation="face_free"), dtype=jnp.float32
+        )
     from robogym_tpu.envs.dactyl.locked import make_env
 
     env = make_env(dtype=jnp.float32)
