@@ -185,15 +185,36 @@ def _pad8(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _cg_full_kernel(iterations,
+def _cg_full_kernel(iterations, with_euler, with_smooth,
                     J_ref, pos_ref, kimp_ref, bref_ref, rcoef_ref, act_ref,
                     floss_ref, eqm_ref, onem_ref, frm_ref,
                     M_ref, Minv_ref, qvel_ref, qs_ref, x0_ref,
-                    x_out, f_out, qfrc_out):
+                    *rest):
     """Like _cg_kernel, but additionally computes per-row aref
     (-bref*J@qvel - kimp*pos), the regularizer D = active / (rcoef *
     max(diag(J Minv J^T), 1e-12)), and the output qfrc = J^T f — so the only
-    XLA-side work per solve is building J and the (E, L) coefficient maps."""
+    XLA-side work per solve is building J and the (E, L) coefficient maps.
+
+    with_euler fuses the implicit-damping semi-implicit Euler velocity
+    update (physics/step.py::euler) into the same kernel: extra inputs
+    Mimp/Minv_imp (V, V, L) and dt (1, L); extra output qvel_new (V, L).
+    This removes the per-substep chain of (B, nv, nv) x (B, nv) micro-GEMMs
+    (qM@qacc, Minv_imp applications, the refinement residual) that XLA
+    lowers to MXU-padded batched GEMMs at <1% utilization.
+
+    with_smooth additionally computes qacc_smooth = Minv @ qfrc_smooth and
+    the warmstart x0 = qacc_prev-if-finite-else-qacc_smooth IN-kernel: the
+    qs_ref/x0_ref inputs are reinterpreted as qfrc_smooth/qacc_prev and an
+    extra qacc_smooth output is appended."""
+    outs = 3 + (1 if with_euler else 0) + (1 if with_smooth else 0)
+    euler_refs = rest[:len(rest) - outs]
+    out_refs = rest[len(rest) - outs:]
+    x_out, f_out, qfrc_out = out_refs[:3]
+    if with_euler:
+        Mimp_ref, Minvimp_ref, dt_ref = euler_refs
+        qvel_out = out_refs[3]
+    if with_smooth:
+        qs_out = out_refs[-1]
     J = J_ref[:]          # (E, V, L)
     pos = pos_ref[:]      # (E, L)
     kimp = kimp_ref[:]
@@ -219,6 +240,16 @@ def _cg_full_kernel(iterations,
 
     def mv_M(A, x):
         return jnp.sum(A * x[None, :, :], axis=1)
+
+    if with_smooth:
+        # qs_ref/x0_ref arrived as qfrc_smooth/qacc_prev
+        qfs, qacc_prev = qs, x0
+        qs = mv_M(Minv, qfs)
+        finite = jnp.all(
+            jnp.abs(qacc_prev) < 1e10, axis=0, keepdims=True
+        ).astype(qs.dtype)
+        x0 = finite * qacc_prev + (1.0 - finite) * qs
+        qs_out[:] = qs
 
     # aref and regularizer
     aref = -bref * mv_J(qvel) - kimp * pos
@@ -296,11 +327,22 @@ def _cg_full_kernel(iterations,
     x_out[:] = x
     f_out[:] = f
     qfrc_out[:] = mv_JT(f)
+    if with_euler:
+        Mimp = Mimp_ref[:]        # (V, V, L)
+        Minvimp = Minvimp_ref[:]
+        dt = dt_ref[:]            # (1, L)
+        qfrc_total = mv_M(M, x)   # momentum-consistent: M qacc
+        qacc1 = mv_M(Minvimp, qfrc_total)
+        # one iterative-refinement step recovers cho_solve-level accuracy
+        qacc_imp = qacc1 + mv_M(Minvimp, qfrc_total - mv_M(Mimp, qacc1))
+        qvel_out[:] = qvel + dt * qacc_imp
 
 
 @functools.lru_cache(maxsize=32)
-def _build_full_call(iterations: int, nv: int, nefc: int):
-    kernel = functools.partial(_cg_full_kernel, iterations)
+def _build_full_call(iterations: int, nv: int, nefc: int,
+                     with_euler: bool = False, with_smooth: bool = False):
+    kernel = functools.partial(_cg_full_kernel, iterations, with_euler,
+                               with_smooth)
 
     def spec3(d0, d1):
         return pl.BlockSpec((d0, d1, LANE), lambda i: (0, 0, i),
@@ -311,42 +353,80 @@ def _build_full_call(iterations: int, nv: int, nefc: int):
                             memory_space=pltpu.VMEM)
 
     def call(J, pos, kimp, bref, rcoef, act, floss, eqm, onem, frm,
-             M, Minv, qvel, qs, x0):
+             M, Minv, qvel, qs, x0, *euler_inputs):
         B = J.shape[-1]
         assert B % LANE == 0, B
+        in_specs = [
+            spec3(nefc, nv),
+            spec2(nefc), spec2(nefc), spec2(nefc), spec2(nefc),
+            spec2(nefc), spec2(nefc), spec2(nefc), spec2(nefc),
+            spec2(nefc),
+            spec3(nv, nv), spec3(nv, nv),
+            spec2(nv), spec2(nv), spec2(nv),
+        ]
+        out_specs = [spec2(nv), spec2(nefc), spec2(nv)]
+        out_shape = [
+            jax.ShapeDtypeStruct((nv, B), jnp.float32),
+            jax.ShapeDtypeStruct((nefc, B), jnp.float32),
+            jax.ShapeDtypeStruct((nv, B), jnp.float32),
+        ]
+        if with_euler:
+            in_specs += [spec3(nv, nv), spec3(nv, nv), spec2(1)]
+            out_specs.append(spec2(nv))
+            out_shape.append(jax.ShapeDtypeStruct((nv, B), jnp.float32))
+        if with_smooth:
+            out_specs.append(spec2(nv))
+            out_shape.append(jax.ShapeDtypeStruct((nv, B), jnp.float32))
         return pl.pallas_call(
             kernel,
             grid=(B // LANE,),
-            in_specs=[
-                spec3(nefc, nv),
-                spec2(nefc), spec2(nefc), spec2(nefc), spec2(nefc),
-                spec2(nefc), spec2(nefc), spec2(nefc), spec2(nefc),
-                spec2(nefc),
-                spec3(nv, nv), spec3(nv, nv),
-                spec2(nv), spec2(nv), spec2(nv),
-            ],
-            out_specs=[spec2(nv), spec2(nefc), spec2(nv)],
-            out_shape=[
-                jax.ShapeDtypeStruct((nv, B), jnp.float32),
-                jax.ShapeDtypeStruct((nefc, B), jnp.float32),
-                jax.ShapeDtypeStruct((nv, B), jnp.float32),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=INTERPRET,
         )(J, pos, kimp, bref, rcoef, act, floss, eqm, onem, frm,
-          M, Minv, qvel, qs, x0)
+          M, Minv, qvel, qs, x0, *euler_inputs)
 
     return call
 
 
-def solve_cg_full(kind: np.ndarray, iterations: int, inputs: dict):
+def pad_spd_bm(A: jax.Array, V: int, Vp: int, B: int, pad: int) -> jax.Array:
+    """Pad a batch-minor (V, V, B) SPD tile to (Vp, Vp, B+pad) with identity
+    on padded dofs/lanes so in-kernel factorizations/solves stay finite."""
+    dt = jnp.float32
+    A = A.astype(dt)
+    if Vp > V or pad:
+        A = jnp.pad(A, ((0, Vp - V), (0, Vp - V), (0, pad)))
+        dpad = np.zeros((Vp, Vp, 1), np.float32)
+        for i in range(V, Vp):
+            dpad[i, i, 0] = 1.0
+        A = A + jnp.asarray(dpad)
+        if pad:
+            eye = jnp.broadcast_to(
+                jnp.eye(Vp, dtype=dt)[:, :, None], (Vp, Vp, pad)
+            )
+            A = A.at[:, :, B:].set(eye)
+    return A
+
+
+def solve_cg_full(kind: np.ndarray, iterations: int, inputs: dict,
+                  euler_inputs: dict = None, with_smooth: bool = False):
     """Fat-kernel entry. All inputs ALREADY batch-minor:
       J (E, V, B), row maps pos/kimp/bref/rcoef/active/floss (E, B),
       M/Minv (V, V, B), qvel/qs/x0 (V, B).
     E and V may be unpadded; this pads to 8 and B to 128.
-    Returns (x (V, B), f (E, B), qfrc (V, B)) unpadded."""
+    Returns (x (V, B), f (E, B), qfrc (V, B)) unpadded.
+
+    euler_inputs (optional): Mimp/Minv_imp (V, V, B) and dt (B,) fuse the
+    implicit-damping Euler velocity update; adds qvel_new (V, B) to the
+    returns.
+
+    with_smooth: inputs qs/x0 are reinterpreted as qfrc_smooth/qacc_prev and
+    qacc_smooth + warmstart are computed in-kernel; adds qacc_smooth (V, B)
+    to the returns."""
     from robogym_tpu.physics.constraint import EQ, FRICTION, ONESIDED
 
     J = inputs["J"]
@@ -355,11 +435,6 @@ def solve_cg_full(kind: np.ndarray, iterations: int, inputs: dict):
     pad = (-B) % LANE
     dt = jnp.float32
     kind = np.asarray(kind, np.int32)
-
-    def pad3(x, p0, p1):
-        if p0 or p1 or pad:
-            x = jnp.pad(x.astype(dt), ((0, p0), (0, p1), (0, pad)))
-        return x.astype(dt)
 
     def pad2(x, p0):
         if p0 or pad:
@@ -370,29 +445,29 @@ def solve_cg_full(kind: np.ndarray, iterations: int, inputs: dict):
         v = np.pad((kind == k).astype(np.float32), (0, Ep - E))
         return jnp.broadcast_to(jnp.asarray(v, dt)[:, None], (Ep, B + pad))
 
-    M_t = pad3(inputs["M"], Vp - V, Vp - V)
-    Minv_t = pad3(inputs["Minv"], Vp - V, Vp - V)
-    if Vp > V or pad:
-        dpad = np.zeros((Vp, Vp, 1), np.float32)
-        for i in range(V, Vp):
-            dpad[i, i, 0] = 1.0
-        M_t = M_t + jnp.asarray(dpad)
-        Minv_t = Minv_t + jnp.asarray(dpad)
-        if pad:
-            eye = jnp.broadcast_to(
-                jnp.eye(Vp, dtype=dt)[:, :, None], (Vp, Vp, pad)
-            )
-            M_t = M_t.at[:, :, B:].set(eye)
-            Minv_t = Minv_t.at[:, :, B:].set(eye)
+    M_t = pad_spd_bm(inputs["M"], V, Vp, B, pad)
+    Minv_t = pad_spd_bm(inputs["Minv"], V, Vp, B, pad)
 
     # padded rows: act=0 -> D=0 -> no force; rcoef pad 1 avoids 0-div
     rcoef = pad2(inputs["rcoef"], Ep - E)
     if Ep > E:
         rcoef = rcoef.at[E:, :].set(1.0)
 
-    call = _build_full_call(int(iterations), Vp, Ep)
-    x, f, qfrc = call(
-        pad3(J, Ep - E, Vp - V),
+    extra = ()
+    if euler_inputs is not None:
+        J3 = jnp.pad(J.astype(dt), ((0, Ep - E), (0, Vp - V), (0, pad)))
+        extra = (
+            pad_spd_bm(euler_inputs["Mimp"], V, Vp, B, pad),
+            pad_spd_bm(euler_inputs["Minv_imp"], V, Vp, B, pad),
+            pad2(euler_inputs["dt"][None, :], 0),
+        )
+    else:
+        J3 = jnp.pad(J.astype(dt), ((0, Ep - E), (0, Vp - V), (0, pad)))
+
+    call = _build_full_call(int(iterations), Vp, Ep,
+                            euler_inputs is not None, with_smooth)
+    out = call(
+        J3,
         pad2(inputs["pos"], Ep - E), pad2(inputs["kimp"], Ep - E),
         pad2(inputs["bref"], Ep - E), rcoef,
         pad2(inputs["active"], Ep - E), pad2(inputs["floss"], Ep - E),
@@ -400,8 +475,12 @@ def solve_cg_full(kind: np.ndarray, iterations: int, inputs: dict):
         M_t, Minv_t,
         pad2(inputs["qvel"], Vp - V), pad2(inputs["qs"], Vp - V),
         pad2(inputs["x0"], Vp - V),
+        *extra,
     )
-    return x[:V, :B], f[:E, :B], qfrc[:V, :B]
+    # output order: x (V), f (E), qfrc (V), [qvel_new (V)], [qacc_smooth (V)]
+    return tuple(
+        o[:E, :B] if i == 1 else o[:V, :B] for i, o in enumerate(out)
+    )
 
 
 def solve_cg_batched(

@@ -447,6 +447,7 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
 
     all_dist, all_pos, all_frame = [], [], []
     all_g1, all_g2, all_condim = [], [], []
+    all_solref, all_solimp, all_fric, all_margin, all_gap = [], [], [], [], []
 
     for grp in groups:
         g1_np, g2_np = grp["g1"], grp["g2"]
@@ -455,8 +456,16 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
         g1 = jnp.asarray(g1_np)
         g2 = jnp.asarray(g2_np)
 
+        # contact params mixed per STATIC pair: pure functions of Model, so
+        # XLA hoists them out of the substep scan (they were previously
+        # recomputed per substep from per-slot traced geom ids — ~10 batched
+        # gathers per substep)
+        solref_p, solimp_p, fric5_p, margin_p, gap_p = _mix_params(
+            m, g1_np, g2_np
+        )
+
         # --- broadphase: bounding-sphere overlap score
-        margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
+        margin = margin_p
         cdist = jnp.linalg.norm(d.geom_xpos[g2] - d.geom_xpos[g1], axis=-1)
         if grp["kind"].startswith("plane"):
             # distance of bounding sphere above plane
@@ -472,10 +481,16 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
             g1k, g2k = g1[sel], g2[sel]
             condim_k = condim_pair[sel]
             active_bp = score_k > 0
+            solref_k, solimp_k, fric5_k = (
+                solref_p[sel], solimp_p[sel], fric5_p[sel]
+            )
+            margin_k, gap_k = margin_p[sel], gap_p[sel]
         else:
             g1k, g2k = g1, g2
             condim_k = condim_pair
             active_bp = score > 0
+            solref_k, solimp_k, fric5_k = solref_p, solimp_p, fric5_p
+            margin_k, gap_k = margin_p, gap_p
 
         # --- narrowphase (vmapped over the K winners)
         t1, t2 = grp["t1"], grp["t2"]
@@ -538,6 +553,11 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
         all_g1.append(jnp.repeat(g1k, ncon))
         all_g2.append(jnp.repeat(g2k, ncon))
         all_condim.append(jnp.repeat(condim_k, ncon))
+        all_solref.append(jnp.repeat(solref_k, ncon, axis=0))
+        all_solimp.append(jnp.repeat(solimp_k, ncon, axis=0))
+        all_fric.append(jnp.repeat(fric5_k, ncon, axis=0))
+        all_margin.append(jnp.repeat(margin_k, ncon))
+        all_gap.append(jnp.repeat(gap_k, ncon))
 
     dist = jnp.concatenate(all_dist)
     pos = jnp.concatenate(all_pos)
@@ -546,7 +566,11 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
     g2s = jnp.concatenate(all_g2)
     condims = jnp.concatenate(all_condim)
 
-    solref, solimp, friction5, margin, gap = _mix_params(m, g1s, g2s)
+    solref = jnp.concatenate(all_solref)
+    solimp = jnp.concatenate(all_solimp)
+    friction5 = jnp.concatenate(all_fric)
+    margin = jnp.concatenate(all_margin)
+    gap = jnp.concatenate(all_gap)
     includemargin = margin - gap
     active = dist < includemargin
 

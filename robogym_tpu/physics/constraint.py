@@ -412,18 +412,33 @@ def make_efc(m: Model, d: Data, Minv: jax.Array = None):
     )
 
 
-def solve(m: Model, d: Data, qfrc_smooth: jax.Array, Minv: jax.Array = None) -> Data:
-    """Newton solve for qacc; fills qacc, qfrc_constraint, contact forces."""
+def solve(m: Model, d: Data, qfrc_smooth: jax.Array, Minv: jax.Array = None,
+          euler_args=None):
+    """Newton solve for qacc; fills qacc, qfrc_constraint, contact forces.
+
+    euler_args=(damp, dt) additionally fuses the implicit-damping Euler
+    velocity update into the solve (hot-path batched TPU kernel); the return
+    becomes (Data, qvel_new) — qvel_new is None when the fused path is
+    unavailable (Newton solver / no contact slots) and the caller must run
+    step.euler itself."""
     if Minv is None:
         # explicit M^-1, reused by the regularizer and every CG
         # preconditioner application (fused Pallas kernel under vmap on TPU)
         from robogym_tpu.physics import factor_kernel
 
         Minv = factor_kernel.spd_inverse(d.qM)
+    if euler_args is not None and m.opt.solver != "cg":
+        # fusion only exists on the CG hot path
+        return solve(m, d, qfrc_smooth, Minv), None
     if m.opt.solver == "cg":
-        out = _solve_cg_post_gather(m, d, Minv)
+        out = _solve_cg_post_gather(m, d, Minv, euler_args)
         if out is not None:
+            # (Data) or (Data, qvel_new) depending on euler_args
             return out
+        if euler_args is not None:
+            # no contact slots: fall through to the scalar/Newton paths and
+            # let the caller integrate
+            return solve(m, d, qfrc_smooth, Minv), None
     efc = make_efc(m, d, Minv)
     if efc is None:
         return d.replace(
@@ -532,16 +547,9 @@ def solve(m: Model, d: Data, qfrc_smooth: jax.Array, Minv: jax.Array = None) -> 
     )
 
 
-def _solve_cg_post_gather(m: Model, d: Data, Minv: jax.Array):
-    """CG solve via the post-gather custom_vmap core
-    (physics/constraint_batched.py): contact slots are selected and gathered
-    here (cheap, dense layouts), then the whole row build + solve runs
-    behind one vmap boundary so the batched TPU path can assemble J
-    batch-minor and run the fused Pallas kernel. Returns None when the
-    model has no contact slots (caller falls back to the scalar-only path).
-    """
-    from robogym_tpu.physics import constraint_batched
-
+def _post_gather_prelude(m: Model, d: Data):
+    """Shared contact-slot selection + gather for the post-gather cores.
+    Returns None when the model has no usable contact slots."""
     c = m.const
     con = d.contact
     ncon = con.dist.shape[0]
@@ -565,28 +573,104 @@ def _solve_cg_post_gather(m: Model, d: Data, Minv: jax.Array):
     b2 = geom_bodyid[con.geom2[sel]]
     rootid = jnp.asarray(c.body_rootid)
     dofmask = jnp.asarray(c.body_dof_mask, dtype)
-    x0 = jnp.where(jnp.isfinite(d.qacc).all(), d.qacc, d.qacc_smooth)
-
-    core = constraint_batched._make_core(
-        np.asarray(kind_s, np.int32).tobytes(), int(m.opt.iterations), nfacet
-    )
-    x, qfrc, f = core(
+    head = (
         J_s, pos_s, solref_s, solimp_s, floss_s, active_s.astype(dtype),
         con.pos[sel], con.frame[sel], con.dist[sel], con.includemargin[sel],
         con.friction[sel], con.active[sel], con.condim[sel],
         dofmask[b1], dofmask[b2],
         d.subtree_com[rootid[b1]], d.subtree_com[rootid[b2]],
         con.solref[sel], con.solimp[sel],
-        d.cdof, d.qvel, d.qM, Minv, d.qacc_smooth, x0,
+        d.cdof, d.qvel, d.qM,
     )
-    n_s = J_s.shape[0]
+    return head, sel, S, nfacet, np.asarray(kind_s, np.int32), J_s.shape[0]
+
+
+def _solve_cg_post_gather(m: Model, d: Data, Minv: jax.Array,
+                          euler_args=None):
+    """CG solve via the post-gather custom_vmap core
+    (physics/constraint_batched.py): contact slots are selected and gathered
+    here (cheap, dense layouts), then the whole row build + solve runs
+    behind one vmap boundary so the batched TPU path can assemble J
+    batch-minor and run the fused Pallas kernel. Returns None when the
+    model has no contact slots (caller falls back to the scalar-only path).
+    """
+    from robogym_tpu.physics import constraint_batched
+
+    pre = _post_gather_prelude(m, d)
+    if pre is None:
+        return None
+    head, sel, S, nfacet, kind_s, n_s = pre
+    ncon = d.contact.dist.shape[0]
+    dtype = d.qpos.dtype
+    x0 = jnp.where(jnp.isfinite(d.qacc).all(), d.qacc, d.qacc_smooth)
+
+    core = constraint_batched._make_core(
+        kind_s.tobytes(), int(m.opt.iterations), nfacet,
+        euler_args is not None,
+    )
+    extra = ()
+    if euler_args is not None:
+        damp, dtv = euler_args
+        # tie dt to per-env data so custom_vmap sees it as batched (the
+        # fused rule requires all(in_batched); m.opt.timestep is usually a
+        # shared constant)
+        dtv = jnp.asarray(dtv, dtype) + 0.0 * d.qvel[0]
+        extra = (damp.astype(dtype), dtv)
+    out = core(*head, Minv, d.qacc_smooth, x0, *extra)
+    if euler_args is not None:
+        x, qfrc, f, qvel_new = out
+    else:
+        x, qfrc, f = out
     block = f[n_s:].reshape(S, nfacet).sum(axis=1)
     efc_force_contact = jnp.zeros(ncon, dtype).at[sel].set(block)
-    return d.replace(
+    d_out = d.replace(
         qacc=x,
         qfrc_constraint=qfrc,
         efc_force_contact=efc_force_contact,
     )
+    if euler_args is not None:
+        return d_out, qvel_new
+    return d_out
+
+
+def solve_fused_step(m: Model, d: Data, qfrc_smooth: jax.Array):
+    """The fully fused hot-path solve: M^-1, qacc_smooth, warmstart, the
+    whole CG constraint solve AND the implicit-damping Euler velocity
+    update behind one vmap boundary (TPU: two Pallas factor kernels + one
+    fat CG kernel; zero batch-major matrix ops in XLA).
+
+    Returns (Data-with-qacc/qacc_smooth/forces, qvel_new), or None when the
+    config can't take the post-gather CG path (caller falls back to the
+    explicit forward()+euler() sequence)."""
+    from robogym_tpu.physics import constraint_batched
+
+    if m.opt.solver != "cg":
+        return None
+    pre = _post_gather_prelude(m, d)
+    if pre is None:
+        return None
+    head, sel, S, nfacet, kind_s, n_s = pre
+    ncon = d.contact.dist.shape[0]
+    dtype = d.qpos.dtype
+
+    core = constraint_batched._make_core(
+        kind_s.tobytes(), int(m.opt.iterations), nfacet,
+        True, True,
+    )
+    damp = (m.dof_damping + d.act_vel_damping).astype(dtype)
+    dtv = jnp.asarray(m.opt.timestep, dtype) + 0.0 * d.qvel[0]
+    x, qfrc, f, qvel_new, qs = core(
+        *head, qfrc_smooth, d.qacc, damp, dtv
+    )
+    block = f[n_s:].reshape(S, nfacet).sum(axis=1)
+    efc_force_contact = jnp.zeros(ncon, dtype).at[sel].set(block)
+    d_out = d.replace(
+        qacc=x,
+        qacc_smooth=qs,
+        qfrc_constraint=qfrc,
+        efc_force_contact=efc_force_contact,
+    )
+    return d_out, qvel_new
 
 
 import functools

@@ -40,7 +40,18 @@ def _facets_per_condim(max_cd: int) -> int:
 
 
 @functools.lru_cache(maxsize=64)
-def _make_core(kind_s_key: bytes, iterations: int, nfacet: int):
+def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
+               with_euler: bool = False, with_smooth: bool = False):
+    """with_euler additionally fuses the implicit-damping Euler velocity
+    update (step.py::euler) behind the same boundary: extra trailing args
+    (damp (nv,), dt scalar) and an extra qvel_new return.
+
+    with_smooth (requires with_euler) moves M^-1, qacc_smooth and the
+    finite-warmstart selection behind the boundary too: the (Minv, qs, x0)
+    trailing args become (qfrc_smooth, qacc_prev) and qacc_smooth is
+    appended to the returns. The full hot-path step then runs exactly TWO
+    batched matrix ops outside the fused kernels (none in XLA batch-major)."""
+    assert with_euler or not with_smooth
     from robogym_tpu.physics import constraint as cl
 
     kind_s = np.frombuffer(kind_s_key, np.int32)
@@ -127,7 +138,19 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int):
     def reference(J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
                   pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
                   mask1, mask2, rc1, rc2, solref_c, solimp_c,
-                  cdof, qvel, qM, Minv, qs, x0):
+                  cdof, qvel, qM, *tail):
+        from robogym_tpu.physics import factor_kernel
+
+        if with_smooth:
+            qfs, qacc_prev, damp, dtv = tail
+            Minv = factor_kernel._spd_inverse_ref(qM)
+            qs = Minv @ qfs
+            finite = jnp.all(jnp.abs(qacc_prev) < 1e10)
+            x0 = jnp.where(finite, qacc_prev, qs)
+        elif with_euler:
+            Minv, qs, x0, damp, dtv = tail
+        else:
+            Minv, qs, x0 = tail
         rows, active_cf = _contact_rows_single(
             pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
             mask1, mask2, rc1, rc2, cdof,
@@ -152,18 +175,32 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int):
         Deq, Done, Dfr = cl.kind_masked_D(kind_full, D)
         x, f = core(J, aref, Deq, Done, Dfr, floss, qM, Minv, qs, x0)
         qfrc = J.T @ f
-        return x, qfrc, f
+        if not with_euler:
+            return x, qfrc, f
+        # same math as the fused kernel: explicit (M + dt diag(damp))^-1
+        # apply + one iterative-refinement step (step.py::euler semantics)
+        Mimp = qM + dtv * jnp.diag(damp)
+        Minv_imp = factor_kernel._spd_inverse_ref(Mimp)
+        qfrc_total = qM @ x
+        qacc1 = Minv_imp @ qfrc_total
+        qacc_imp = qacc1 + Minv_imp @ (qfrc_total - Mimp @ qacc1)
+        qvel_new = qvel + dtv * qacc_imp
+        if with_smooth:
+            return x, qfrc, f, qvel_new, qs
+        return x, qfrc, f, qvel_new
+
+    n_out = 3 + (1 if with_euler else 0) + (1 if with_smooth else 0)
 
     @custom_batching.custom_vmap
     def solve(J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
               pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
               mask1, mask2, rc1, rc2, solref_c, solimp_c,
-              cdof, qvel, qM, Minv, qs, x0):
+              cdof, qvel, qM, *tail):
         return reference(
             J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
             pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
             mask1, mask2, rc1, rc2, solref_c, solimp_c,
-            cdof, qvel, qM, Minv, qs, x0,
+            cdof, qvel, qM, *tail,
         )
 
     @solve.def_vmap
@@ -171,7 +208,7 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int):
               J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
               pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
               mask1, mask2, rc1, rc2, solref_c, solimp_c,
-              cdof, qvel, qM, Minv, qs, x0):
+              cdof, qvel, qM, *tail):
         del axis_size
         import os
 
@@ -192,9 +229,9 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int):
                 J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
                 pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
                 mask1, mask2, rc1, rc2, solref_c, solimp_c,
-                cdof, qvel, qM, Minv, qs, x0,
+                cdof, qvel, qM, *tail,
             )
-            return out, (True, True, True)
+            return out, (True,) * n_out
 
         from robogym_tpu.physics import cg_kernel
 
@@ -285,21 +322,52 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int):
             dist_c, margin_c, solref_c, solimp_c, active_cf,
         )
 
-        x0w = x0
+        M_t = t(qM)
+        from robogym_tpu.physics import constraint as cl
+        from robogym_tpu.physics import factor_kernel
+
+        if with_smooth:
+            qfs_b, qaccp_b, damp_b, dt_b = tail
+            Minv_t = factor_kernel.spd_inverse_bm(M_t)
+            qs_t, x0_t = t(qfs_b), t(qaccp_b)  # reinterpreted in-kernel
+        elif with_euler:
+            Minv_b, qs_b, x0_b, damp_b, dt_b = tail
+            Minv_t, qs_t, x0_t = t(Minv_b), t(qs_b), t(x0_b)
+        else:
+            Minv_b, qs_b, x0_b = tail
+            Minv_t, qs_t, x0_t = t(Minv_b), t(qs_b), t(x0_b)
         inputs = dict(
             J=J_t, pos=t(pos), kimp=t(kimp), bref=t(bref), rcoef=t(rcoef),
             active=t(active), floss=t(floss),
-            M=t(qM), Minv=t(Minv), qvel=t(qvel), qs=t(qs), x0=t(x0w),
+            M=M_t, Minv=Minv_t, qvel=t(qvel), qs=qs_t, x0=x0_t,
         )
-        from robogym_tpu.physics import constraint as cl
 
         kind_full = np.concatenate(
             [kind_s, np.full(S * F, cl.ONESIDED, np.int32)]
         )
+        back = lambda x: jnp.moveaxis(x, -1, 0)
+        if with_euler:
+            damp_t = t(damp_b)                               # (V, B)
+            dt_t = dt_b.astype(dt)                           # (B,)
+            Vn = damp_t.shape[0]
+            eye = jnp.asarray(np.eye(Vn, dtype=np.float32))[:, :, None]
+            Mimp_t = M_t + eye * (damp_t * dt_t[None, :])[None, :, :]
+            Minv_imp_t = factor_kernel.spd_inverse_bm(Mimp_t)
+            out_t = cg_kernel.solve_cg_full(
+                kind_full, iterations, inputs,
+                euler_inputs=dict(Mimp=Mimp_t, Minv_imp=Minv_imp_t,
+                                  dt=dt_t),
+                with_smooth=with_smooth,
+            )
+            # kernel order (x, f, qfrc, ...) -> core order (x, qfrc, f, ...)
+            x_t, f_t, qfrc_t = out_t[0], out_t[1], out_t[2]
+            out = (back(x_t), back(qfrc_t), back(f_t)) + tuple(
+                back(o) for o in out_t[3:]
+            )
+            return out, (True,) * n_out
         x_t, f_t, qfrc_t = cg_kernel.solve_cg_full(
             kind_full, iterations, inputs
         )
-        back = lambda x: jnp.moveaxis(x, -1, 0)
         return (back(x_t), back(qfrc_t), back(f_t)), (True, True, True)
 
     return solve

@@ -116,6 +116,29 @@ def spd_inverse_batched(A_b: jax.Array) -> jax.Array:
     return jnp.moveaxis(out[:V, :V, :B], -1, 0).astype(A_b.dtype)
 
 
+def spd_inverse_bm(A_t: jax.Array) -> jax.Array:
+    """Batch-MINOR (V, V, B) SPD inverse via the fused kernel — used by
+    callers that already hold batch-minor tiles (constraint_batched), so no
+    layout round-trip through (B, V, V)."""
+    V, _, B = A_t.shape
+    Vp = _pad8(max(V, 8))
+    pad = (-B) % LANE
+    At = A_t.astype(jnp.float32)
+    if Vp > V or pad:
+        At = jnp.pad(At, ((0, Vp - V), (0, Vp - V), (0, pad)))
+        dpad = np.zeros((Vp, Vp, 1), np.float32)
+        for i in range(V, Vp):
+            dpad[i, i, 0] = 1.0
+        At = At + jnp.asarray(dpad)
+        if pad:
+            eye = jnp.broadcast_to(
+                jnp.eye(Vp, dtype=jnp.float32)[:, :, None], (Vp, Vp, pad)
+            )
+            At = At.at[:, :, B:].set(eye)
+    out = _build_call(Vp)(At)
+    return out[:V, :V, :B].astype(A_t.dtype)
+
+
 def _spd_inverse_ref(A: jax.Array) -> jax.Array:
     Lc = jax.scipy.linalg.cholesky(A, lower=True)
     eye = jnp.eye(A.shape[-1], dtype=A.dtype)

@@ -41,6 +41,20 @@ def fwd_velocity(m: Model, d: Data):
     return d
 
 
+def forward_tail(m: Model, d: Data, qfrc_smooth: jax.Array) -> Data:
+    """Explicit (unfused) dynamics tail: M^-1, qacc_smooth, constraint
+    solve. Used by standalone forward() and the non-CG/no-contact step."""
+    # explicit M^-1 computed once per substep; reused for qacc_smooth, the
+    # constraint regularizer, and the CG preconditioner (matmuls instead of
+    # repeated batched triangular solves). Under vmap on TPU this dispatches
+    # to the fused Pallas factor kernel (physics/factor_kernel.py).
+    Minv = factor_kernel.spd_inverse(d.qM)
+    qacc_smooth = Minv @ qfrc_smooth
+    d = d.replace(qacc_smooth=qacc_smooth)
+    d = constraint_lib.solve(m, d, qfrc_smooth, Minv)
+    return d
+
+
 def forward(m: Model, d: Data) -> Data:
     """Full forward dynamics: fills every derived field incl. qacc."""
     d = fwd_position(m, d)
@@ -52,15 +66,7 @@ def forward(m: Model, d: Data) -> Data:
         d.qfrc_passive + d.qfrc_actuator + d.qfrc_applied - d.qfrc_bias
         + _xfrc_to_qfrc(m, d)
     )
-    # explicit M^-1 computed once per substep; reused for qacc_smooth, the
-    # constraint regularizer, and the CG preconditioner (matmuls instead of
-    # repeated batched triangular solves). Under vmap on TPU this dispatches
-    # to the fused Pallas factor kernel (physics/factor_kernel.py).
-    Minv = factor_kernel.spd_inverse(d.qM)
-    qacc_smooth = Minv @ qfrc_smooth
-    d = d.replace(qacc_smooth=qacc_smooth)
-    d = constraint_lib.solve(m, d, qfrc_smooth, Minv)
-    return d
+    return forward_tail(m, d, qfrc_smooth)
 
 
 def _xfrc_to_qfrc(m: Model, d: Data) -> jax.Array:
@@ -148,16 +154,44 @@ def euler(m: Model, d: Data) -> Data:
 
 
 def step(m: Model, d: Data) -> Data:
-    """One physics substep: forward dynamics + Euler integration."""
-    d = forward(m, d)
-    return euler(m, d)
+    """One physics substep: forward dynamics + Euler integration.
+
+    On the contact-CG hot path the implicit-damping Euler velocity update is
+    fused INTO the constraint kernel (constraint.solve euler_args) — the
+    qM@qacc / Minv_imp micro-GEMM chain runs in VMEM next to the CG loop.
+    Only qpos integration (quaternion math on a handful of joints) remains
+    outside."""
+    d = fwd_position(m, d)
+    d, moment = smooth.transmission(m, d)
+    d = fwd_velocity(m, d)
+    d = actuation_lib.actuation(m, d, moment)
+    d = smooth.passive(m, d)
+    qfrc_smooth = (
+        d.qfrc_passive + d.qfrc_actuator + d.qfrc_applied - d.qfrc_bias
+        + _xfrc_to_qfrc(m, d)
+    )
+    dt = m.opt.timestep
+    res = constraint_lib.solve_fused_step(m, d, qfrc_smooth)
+    if res is None:
+        # Newton solver / no contact slots: explicit sequence
+        d = forward_tail(m, d, qfrc_smooth)
+        return euler(m, d)
+    d, qvel_new = res
+    qpos_new = integrate_pos(m, d.qpos, qvel_new, dt)
+    return d.replace(qpos=qpos_new, qvel=qvel_new, time=d.time + dt)
 
 
 def step_n(m: Model, d: Data, n: int) -> Data:
-    """`n` substeps under lax.scan (the reference's sim.step(nsubsteps))."""
+    """`n` substeps under lax.scan (the reference's sim.step(nsubsteps)).
+
+    ROBOGYM_TPU_SUBSTEP_UNROLL (trace-time static) unrolls the scan body,
+    trading compile time for cross-substep scheduling freedom."""
+    import os
+
+    unroll = int(os.environ.get("ROBOGYM_TPU_SUBSTEP_UNROLL", "1"))
 
     def body(carry, _):
         return step(m, carry), ()
 
-    d, _ = jax.lax.scan(body, d, None, length=n)
+    d, _ = jax.lax.scan(body, d, None, length=n, unroll=min(unroll, n))
     return d

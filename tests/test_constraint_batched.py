@@ -127,3 +127,75 @@ def test_batched_pallas_builder_matches_reference(ballbox_states):
             np.asarray(g), np.asarray(r), rtol=3e-2, atol=3e-2,
             err_msg=name,
         )
+
+
+def test_fused_euler_matches_step_euler(ballbox_states):
+    """constraint.solve(euler_args=...) must produce the same next-qvel as
+    the unfused forward()+step.euler() sequence, on both the reference path
+    and the interpret-mode Pallas path."""
+    m, d_b = ballbox_states
+
+    def prep(d):
+        d = S.fwd_position(m, d)
+        d, cdofdot = S.smooth.com_vel(m, d)
+        d = S.smooth.rne(m, d, cdofdot)
+        qfrc_smooth = -d.qfrc_bias
+        Minv = factor_kernel.spd_inverse(d.qM)
+        return d.replace(qacc_smooth=Minv @ qfrc_smooth), Minv, qfrc_smooth
+
+    def old(d):
+        d, Minv, qfrc_smooth = prep(d)
+        d = constraint.solve(m, d, qfrc_smooth, Minv)
+        return S.euler(m, d).qvel
+
+    def fused(d):
+        d, Minv, qfrc_smooth = prep(d)
+        damp = m.dof_damping + d.act_vel_damping
+        d, qvel_new = constraint.solve(
+            m, d, qfrc_smooth, Minv, euler_args=(damp, m.opt.timestep)
+        )
+        assert qvel_new is not None
+        return qvel_new
+
+    qvel_ref = jax.jit(jax.vmap(old))(d_b)
+    qvel_fused = jax.jit(jax.vmap(fused))(d_b)
+    np.testing.assert_allclose(
+        np.asarray(qvel_fused), np.asarray(qvel_ref), rtol=1e-5, atol=1e-6
+    )
+
+    old_cg, old_fk = cg_kernel.INTERPRET, factor_kernel.INTERPRET
+    cg_kernel.INTERPRET = True
+    factor_kernel.INTERPRET = True
+    os.environ["ROBOGYM_TPU_FORCE_PALLAS"] = "1"
+    try:
+        qvel_pallas = jax.jit(jax.vmap(fused))(d_b)
+    finally:
+        cg_kernel.INTERPRET = old_cg
+        factor_kernel.INTERPRET = old_fk
+        del os.environ["ROBOGYM_TPU_FORCE_PALLAS"]
+    np.testing.assert_allclose(
+        np.asarray(qvel_pallas), np.asarray(qvel_ref), rtol=3e-2, atol=3e-3
+    )
+
+
+def test_step_fused_matches_explicit_sequence(ballbox_states):
+    """step() (fully fused constraint+euler path) must match the explicit
+    forward()+euler() sequence."""
+    m, d_b = ballbox_states
+
+    def explicit(d):
+        d = S.euler(m, S.forward(m, d))
+        return d.qpos, d.qvel
+
+    def fused(d):
+        d = S.step(m, d)
+        return d.qpos, d.qvel
+
+    qp_ref, qv_ref = jax.jit(jax.vmap(explicit))(d_b)
+    qp_new, qv_new = jax.jit(jax.vmap(fused))(d_b)
+    np.testing.assert_allclose(
+        np.asarray(qp_new), np.asarray(qp_ref), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(qv_new), np.asarray(qv_ref), rtol=1e-5, atol=1e-6
+    )
