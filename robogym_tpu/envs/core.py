@@ -40,18 +40,26 @@ class TrackerState:
     success_steps_required: jax.Array      # i32 sampled hold duration
     success_and_no_goal_reset: jax.Array   # bool
     trial_success: jax.Array               # bool
+    goals_so_far: jax.Array                # i32, 1 after reset (initial goal)
+    sub_goal_success: jax.Array            # bool, success fired THIS step
+    steps_by_type: jax.Array               # i32[n_goal_types]
+    successes_by_type: jax.Array           # i32[n_goal_types]
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
 
     @classmethod
-    def zero(cls):
+    def zero(cls, n_goal_types: int = 1):
         z = jnp.zeros((), jnp.int32)
+        zt = jnp.zeros((n_goal_types,), jnp.int32)
         return cls(
             steps=z, steps_since_last_goal=z, consecutive_successes=z,
             successes_so_far=z, success_steps_required=jnp.ones((), jnp.int32),
             success_and_no_goal_reset=jnp.zeros((), bool),
             trial_success=jnp.zeros((), bool),
+            goals_so_far=jnp.ones((), jnp.int32),
+            sub_goal_success=jnp.zeros((), bool),
+            steps_by_type=zt, successes_by_type=zt,
         )
 
 
@@ -133,9 +141,20 @@ def tracker_process(
     constants: EnvConstants,
     is_successful: jax.Array,
     solved: jax.Array,
+    goal_type: Optional[jax.Array] = None,
 ) -> Tuple[TrackerState, jax.Array, jax.Array, jax.Array]:
     """One step of MultiGoalTracker.process (multi_goal_tracker.py:157-241),
-    vectorizable. Returns (tracker', success_reward, done, need_new_goal)."""
+    vectorizable. `goal_type` is the CURRENT goal's type index into the env's
+    static goal-type table (reference goal_info["goal"]["goal_type"]; None =
+    single "generic" type). Returns (tracker', success_reward, done,
+    need_new_goal)."""
+    n_types = tracker.steps_by_type.shape[0]
+    gt = (
+        jnp.zeros((), jnp.int32) if goal_type is None
+        else goal_type.astype(jnp.int32)
+    )
+    type_onehot = (jnp.arange(n_types) == gt).astype(jnp.int32)
+
     steps = tracker.steps + 1
     ssg = tracker.steps_since_last_goal + 1
     consec = jnp.where(is_successful, tracker.consecutive_successes + 1, 0)
@@ -163,13 +182,74 @@ def tracker_process(
     tracker = TrackerState(
         steps=steps,
         steps_since_last_goal=jnp.where(need_new_goal | trial_success, 0, ssg),
-        consecutive_successes=consec,
+        # reference reset_goal_steps() zeroes the streak on goal resample
+        consecutive_successes=jnp.where(need_new_goal, 0, consec),
         successes_so_far=successes,
         success_steps_required=tracker.success_steps_required,
         success_and_no_goal_reset=pending & ~fire,
         trial_success=trial_success,
+        goals_so_far=tracker.goals_so_far + need_new_goal.astype(jnp.int32),
+        sub_goal_success=goal_hold_reached,
+        steps_by_type=tracker.steps_by_type + type_onehot,
+        successes_by_type=(
+            tracker.successes_by_type
+            + type_onehot * goal_hold_reached.astype(jnp.int32)
+        ),
     )
     return tracker, success_reward, done, need_new_goal
+
+
+def tracker_info(
+    tracker: TrackerState,
+    constants: EnvConstants,
+    goal_type_names: Tuple[str, ...] = ("generic",),
+    goal_type: Optional[jax.Array] = None,
+) -> Dict[str, Any]:
+    """Post-process info keys (multi_goal_tracker.py:243-277, update_info).
+
+    steps_per_success = (total steps - steps still spent on the current,
+    unfinished goal) / successes, defaulting to max_timesteps_per_goal when
+    no goal has been achieved yet — exactly _steps_per_success (:127-132)."""
+    default = float(
+        constants.max_timesteps_per_goal
+        if constants.max_timesteps_per_goal is not None else 0
+    )
+    succ = tracker.successes_so_far
+    sps = jnp.where(
+        succ > 0,
+        (tracker.steps - tracker.steps_since_last_goal)
+        / jnp.maximum(succ, 1).astype(jnp.float32),
+        default,
+    )
+    n_types = tracker.steps_by_type.shape[0]
+    gt = (
+        jnp.zeros((), jnp.int32) if goal_type is None
+        else goal_type.astype(jnp.int32)
+    )
+    cur = (jnp.arange(n_types) == gt).astype(jnp.int32)
+    unsucc_t = cur * tracker.steps_since_last_goal
+    sps_t = jnp.where(
+        tracker.successes_by_type > 0,
+        (tracker.steps_by_type - unsucc_t)
+        / jnp.maximum(tracker.successes_by_type, 1).astype(jnp.float32),
+        default,
+    )
+    info: Dict[str, Any] = {
+        "goals_so_far": tracker.goals_so_far,
+        "successes_so_far": tracker.successes_so_far,
+        "steps_since_last_goal": tracker.steps_since_last_goal,
+        "consecutive_steps_with_success": tracker.consecutive_successes,
+        "sub_goal_is_successful": tracker.sub_goal_success,
+        "trial_success": tracker.trial_success,
+        "steps_per_success": sps,
+    }
+    for i, name in enumerate(goal_type_names):
+        info[f"steps_by_goal_type/{name}"] = tracker.steps_by_type[i]
+        info[f"successes_so_far_by_goal_type/{name}"] = (
+            tracker.successes_by_type[i]
+        )
+        info[f"steps_per_success_by_goal_type/{name}"] = sps_t[i]
+    return info
 
 
 def divergence_guard(

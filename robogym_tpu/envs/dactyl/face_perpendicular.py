@@ -271,6 +271,8 @@ class FacePerpendicularEnv(cube_env.CubeEnvBase):
         return {
             "cube_quat": rot.quat_normalize(goal_quat),
             "cube_face_angle": goal_face,
+            # 0 = flip, 1 = rotation (reference face_curriculum.py:131)
+            "goal_type": rotate_face.astype(jnp.int32),
         }
 
     # ------------------------------------------------------------------
@@ -278,7 +280,7 @@ class FacePerpendicularEnv(cube_env.CubeEnvBase):
         k_phys, k_goal, k_pause, k_state = jax.random.split(key, 4)
         d = self.reset_physics(k_phys)
         goal = self._next_goal(k_goal, d)
-        tracker = core.TrackerState.zero().replace(
+        tracker = core.TrackerState.zero(n_goal_types=2).replace(
             success_steps_required=core.sample_success_steps_required(
                 k_pause, self.constants
             )
@@ -311,7 +313,8 @@ class FacePerpendicularEnv(cube_env.CubeEnvBase):
         ) - core.goal_distance_sum(dist)
         successful = core.is_successful(dist, self._thresholds)
         tracker, success_reward, done, need_new_goal = core.tracker_process(
-            state.tracker, cst, successful, jnp.zeros((), bool)
+            state.tracker, cst, successful, jnp.zeros((), bool),
+            goal_type=state.goal["goal_type"],
         )
 
         env_reward = jnp.zeros((), self.dtype)
@@ -354,12 +357,14 @@ class FacePerpendicularEnv(cube_env.CubeEnvBase):
         done = done | crashed
         info = {
             "env_crash": crashed,
-            "successes_so_far": tracker.successes_so_far,
-            "trial_success": tracker.trial_success,
             "is_successful": successful,
             "goal_dist_quat": dist["cube_quat"],
             "goal_dist_face": dist["cube_face_angle"],
         }
+        info.update(core.tracker_info(
+            tracker, cst, ("flip", "rotation"),
+            goal_type=state.goal["goal_type"],
+        ))
         return new_state, self._observe(new_state), reward, done, info
 
     def _observe(self, state: core.EnvState) -> Dict[str, jax.Array]:

@@ -267,13 +267,11 @@ class LockedEnv(cube_env.CubeEnvBase):
         )
         done = done | crashed
         info = {
-            "successes_so_far": tracker.successes_so_far,
-            "trial_success": tracker.trial_success,
-            "steps_since_last_goal": tracker.steps_since_last_goal,
             "goal_dist": dist["cube_quat"],
             "is_successful": successful,
             "env_crash": crashed,
         }
+        info.update(core.tracker_info(tracker, cst))
         return new_state, self._observe(new_state), reward, done, info
 
     def _observe(self, state: core.EnvState) -> Dict[str, jax.Array]:

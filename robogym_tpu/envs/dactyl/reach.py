@@ -239,12 +239,10 @@ class ReachEnv:
         done = done | crashed
         info = {
             "env_crash": crashed,
-            "successes_so_far": tracker.successes_so_far,
-            "trial_success": tracker.trial_success,
-            "steps_since_last_goal": tracker.steps_since_last_goal,
             "goal_dist": dist["fingertip_pos"],
             "is_successful": successful,
         }
+        info.update(core.tracker_info(tracker, cst))
         return new_state, self._observe(new_state), reward, done, info
 
     def _observe(self, state: core.EnvState) -> Dict[str, jax.Array]:

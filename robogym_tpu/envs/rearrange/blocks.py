@@ -550,12 +550,11 @@ class BlocksRearrangeEnv:
         done = done | crashed
         info = {
             "env_crash": crashed,
-            "successes_so_far": tracker.successes_so_far,
-            "trial_success": tracker.trial_success,
             "objects_off_table": off_table,
             "gripper_table_contact": table_contact,
             "is_successful": successful,
         }
+        info.update(core.tracker_info(tracker, self.constants))
         return new_state, self._observe(new_state), reward, done, info
 
     def _observe(self, state: core.EnvState) -> Dict[str, jax.Array]:
