@@ -61,6 +61,9 @@ class RearrangeEnvConstants(core.EnvConstants):
     # camera observations (render/raycast.py). The reference's RESET_GOAL
     # cadence for goal images collapses into the jitted observe — the image
     # is a pure function of qpos_goal, so pixels are identical.
+    # mask obs for objects / goals outside the placement area
+    # (common/base.py:311-374, goal_args.mask_margin / soft_mask)
+    mask_obs_outside_placement_area: bool = False
     vision: bool = False
     vision_image_size: int = 200
     vision_camera_names: Tuple[str, ...] = ("vision_cam_front",)
@@ -327,7 +330,7 @@ class BlocksRearrangeEnv:
                 self.model, self.idx.object_geom_ids,
                 self.idx.object_body_ids, mat_idx,
             ))
-        return fields, self._object_half_sizes()
+        return fields, self._object_half_sizes(), group_ids
 
     def reset(self, key: jax.Array) -> Tuple[core.EnvState, Dict]:
         cst = self.constants
@@ -336,7 +339,7 @@ class BlocksRearrangeEnv:
             jax.random.split(key, 7)
         )
         active = self._active_mask()
-        model_fields, sizes = self._reset_model_fields(k_model)
+        model_fields, sizes, group_ids = self._reset_model_fields(k_model)
         d = self._initial_data
 
         # place objects (grid/rejection placement, common/base.py:797-822)
@@ -361,6 +364,9 @@ class BlocksRearrangeEnv:
         goal = self.goal_gen.next_goal(
             k_goal, active, sizes, self.num_objects, d
         )
+        if self.goal_gen.args.stabilize_goal:
+            goal = self._stabilize_goal(goal, m, d)
+        goal = self._with_placement_info(goal, active, k_goal, group_ids)
         tracker = core.TrackerState.zero().replace(
             success_steps_required=core.sample_success_steps_required(
                 k_pause, cst
@@ -516,6 +522,11 @@ class BlocksRearrangeEnv:
             goal = self.goal_gen.next_goal(
                 k_goal, active, sizes, self.num_objects, d
             )
+            if self.goal_gen.args.stabilize_goal:
+                goal = self._stabilize_goal(goal, m, d)
+            goal = self._with_placement_info(
+                goal, active, k_goal, state.goal["group_ids"]
+            )
             req = core.sample_success_steps_required(k_pause, cst)
             return goal, req
 
@@ -557,6 +568,50 @@ class BlocksRearrangeEnv:
         info.update(core.tracker_info(tracker, self.constants))
         return new_state, self._observe(new_state), reward, done, info
 
+    def _stabilize_goal(
+        self, goal: Dict[str, jax.Array], m, d: Data
+    ) -> Dict[str, jax.Array]:
+        """Physics-settle the goal poses so goals are statically achievable
+        (goals/object_state.py:292-330 _stablize_goal_objects): teleport the
+        objects to the sampled goal in a SCRATCH Data, run settle steps, and
+        read the rested poses back as the goal. Enabled by
+        goal_args.stabilize_goal (reference default: composer only —
+        composer.py:25). NOTE: under vmap the goal-resample lax.cond lowers
+        to select, so an enabled flag pays the settle every env step."""
+        dg = sim_lib.set_object_poses(
+            self.idx, d, goal["obj_pos"], goal["obj_rot"]
+        )
+        dg = physics.step_n(
+            m, dg,
+            self.constants.stabilize_steps * self.constants.mujoco_substeps,
+        )
+        goal = dict(goal)
+        goal["obj_pos"] = sim_lib.object_positions(self.idx, dg)
+        goal["obj_rot"] = sim_lib.object_quats(self.idx, dg)
+        return goal
+
+    def _with_placement_info(
+        self, goal: Dict[str, jax.Array], active: jax.Array, key: jax.Array,
+        group_ids: Optional[jax.Array] = None,
+    ) -> Dict[str, jax.Array]:
+        """Attach goal_objects_in_placement_area / goal_in_placement_area
+        (goals/object_state.py:376-405) and the episode's duplicate-object
+        group partition (consumed by greedy goal matching,
+        goals/object_state.py:520-560) to a freshly sampled goal."""
+        gargs = self.goal_gen.args
+        inside = sim_lib.in_placement_area(
+            self.idx, goal["obj_pos"], self.num_objects,
+            self.parameters.simulation_params.used_table_portion,
+            margin=gargs.mask_margin, soft=gargs.soft_mask,
+            key=jax.random.fold_in(key, 7), active_mask=active,
+        )
+        goal = dict(goal)
+        goal["goal_objects_in_placement_area"] = inside
+        goal["goal_in_placement_area"] = jnp.all(inside)
+        if group_ids is not None:
+            goal["group_ids"] = group_ids
+        return goal
+
     def _observe(self, state: core.EnvState) -> Dict[str, jax.Array]:
         """Core subset of _observe_simple (common/base.py:376-421), padded
         to max_num_objects like the reference."""
@@ -569,6 +624,7 @@ class BlocksRearrangeEnv:
         mask = active[:, None].astype(self.dtype)
         tcp = arm_lib.tcp_xyz(self.robot.arm, d)
         dist = self.goal_gen.goal_distance(state.goal, d, active)
+        rel_goal = self.goal_gen.relative_goal(state.goal, d, active)
         # wrist F/T readout + safety stop (joint_controlled_arm.py:79-85,
         # arm_interface.py:43-46)
         tcp_force, tcp_torque = sim_lib.contact_wrench_on_geoms(
@@ -584,12 +640,14 @@ class BlocksRearrangeEnv:
             )
         obs = {
             "obj_pos": obj_pos * mask,
+            "obj_rel_pos": (obj_pos - tcp[None, :]) * mask,
             "obj_rot": jax.vmap(rot.quat2euler)(obj_quat) * mask,
             "obj_vel_pos": obj_vel[:, 3:] * mask,
             "obj_vel_rot": obj_vel[:, :3] * mask,
             "goal_obj_pos": state.goal["obj_pos"] * mask,
             "goal_obj_rot": jax.vmap(rot.quat2euler)(state.goal["obj_rot"]) * mask,
-            "rel_goal_obj_pos": (state.goal["obj_pos"] - obj_pos) * mask,
+            "rel_goal_obj_pos": rel_goal["obj_pos"] * mask,
+            "rel_goal_obj_rot": rel_goal["obj_rot"] * mask,
             "obj_colors": m.geom_rgba[
                 jnp.asarray(self.idx.object_geom_ids)
             ] * mask,
@@ -617,9 +675,40 @@ class BlocksRearrangeEnv:
             "safety_stop": safety_stop.astype(self.dtype)[None],
             "is_goal_achieved": goal_achieved.astype(self.dtype)[None],
         }
+        if self.constants.mask_obs_outside_placement_area:
+            obs.update(self._masked_obs(state, obs, obj_pos, active))
         if self.constants.vision:
             obs.update(self._observe_vision(m, d, obs["qpos_goal"]))
         return obs
+
+    def _masked_obs(
+        self, state: core.EnvState, obs: Dict[str, jax.Array],
+        obj_pos: jax.Array, active: jax.Array,
+    ) -> Dict[str, jax.Array]:
+        """masked_* / placement_mask obs for objects and goals outside the
+        placement area (common/base.py:311-374 _mask_goal_observation +
+        _mask_object_observation). Padding slots mask to 1.0 like the
+        reference (simulation/base.py:894-897)."""
+        gargs = self.goal_gen.args
+        sp = self.parameters.simulation_params
+        inside = sim_lib.in_placement_area(
+            self.idx, obj_pos, self.num_objects, sp.used_table_portion,
+            margin=gargs.mask_margin, soft=gargs.soft_mask,
+            key=jax.random.fold_in(state.key, 13), active_mask=active,
+        )
+        pmask = inside.astype(self.dtype)[:, None]              # (O, 1)
+        gmask = state.goal["goal_objects_in_placement_area"].astype(
+            self.dtype
+        )[:, None]
+        out = {"placement_mask": pmask, "goal_placement_mask": gmask}
+        for k in ("obj_pos", "obj_rot", "obj_rel_pos", "obj_vel_pos",
+                  "obj_vel_rot", "obj_gripper_contact", "obj_bbox_size",
+                  "obj_colors"):
+            out[f"masked_{k}"] = obs[k] * pmask
+        for k in ("goal_obj_pos", "goal_obj_rot", "rel_goal_obj_pos",
+                  "rel_goal_obj_rot"):
+            out[f"masked_{k}"] = obs[k] * gmask
+        return out
 
     def _observe_vision(self, m, d, qpos_goal) -> Dict[str, jax.Array]:
         """vision_obs / vision_obs_mobile / vision_goal image observations

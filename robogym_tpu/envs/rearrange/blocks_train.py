@@ -33,16 +33,19 @@ class BlockTrainEnvParameters(blocks_lib.RearrangeEnvParameters):
 
 class BlockTrainRearrangeEnv(blocks_lib.BlocksRearrangeEnv):
     def _reset_model_fields(self, key: jax.Array):
-        fields, sizes = super()._reset_model_fields(key)
+        fields, sizes, group_ids = super()._reset_model_fields(key)
         if not self.constants.use_cuboid:
-            return fields, sizes
+            return fields, sizes, group_ids
         k = jax.random.fold_in(key, 17)
         O = self.max_num_objects
-        scales = jnp.exp(jax.random.uniform(
+        # scale is sampled per GROUP so duplicates stay identical
+        # (common/base.py:570,594,610): draw per slot, gather by group id
+        group_scales = jnp.exp(jax.random.uniform(
             k, (O, 3), self.dtype,
             -self.parameters.object_scale_low,
             self.parameters.object_scale_high,
         ))
+        scales = group_scales[jnp.clip(group_ids, 0, O - 1)]
         new_sizes = sizes * scales
         vol_scale = jnp.prod(scales, axis=-1)
         gids = jnp.asarray(self.idx.object_geom_ids)
@@ -59,7 +62,7 @@ class BlockTrainRearrangeEnv(blocks_lib.BlocksRearrangeEnv):
             base_m / 3.0 * (s2[:, 0] + s2[:, 1]),
         ], axis=-1)
         fields["body_inertia"] = self.model.body_inertia.at[bids].set(inertia)
-        return fields, new_sizes
+        return fields, new_sizes, group_ids
 
 
 def make_env(constants=None, parameters=None, dtype=jnp.float32):

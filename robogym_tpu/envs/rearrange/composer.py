@@ -186,8 +186,9 @@ class ComposerRearrangeEnv(mesh_env_lib.MeshRearrangeEnv):
             colors = jnp.tile(
                 jnp.asarray([0.5, 0.5, 0.5, 1.0], self.dtype), (O, 1)
             )
+            group_ids = jnp.arange(O)
         else:
-            _, colors = self._sample_object_groups(k_groups)
+            group_ids, colors = self._sample_object_groups(k_groups)
         all_sub_colors = jnp.repeat(colors, K, axis=0)
 
         fields = {
@@ -210,7 +211,7 @@ class ComposerRearrangeEnv(mesh_env_lib.MeshRearrangeEnv):
             ].set(span),
             "geom_rgba": self.model.geom_rgba.at[gids].set(all_sub_colors),
         }
-        return fields, span
+        return fields, span, group_ids
 
 
 def make_env(constants=None, parameters=None, mesh_names=None,

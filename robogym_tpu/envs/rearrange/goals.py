@@ -30,6 +30,9 @@ class GoalArgs:
     stabilize_goal: bool = False
     rot_dist_type: str = "full"          # full | mod90 | mod180 | icp
     icp_max_num_vertices: int = 500      # (object_state.py:142)
+    # placement-area observation masking (object_state.py:159-161)
+    mask_margin: float = 0.02
+    soft_mask: bool = False
     # train-state curriculum mixture (object_state.py:165-169)
     height_range: Tuple[float, float] = (0.05, 0.25)
     pickup_proba: float = 0.0
@@ -152,6 +155,70 @@ def rot_distance(
     return jax.vmap(per_obj)(q1, q2)
 
 
+def greedy_group_match(
+    obj_pos: jax.Array, goal_pos: jax.Array, group_ids: jax.Array,
+    active_mask: jax.Array,
+) -> jax.Array:
+    """Greedy object<->goal assignment within duplicate-object groups
+    (goals/object_state.py:520-560): repeatedly take the globally closest
+    (object, goal) pair with matching group id, then retire its row and
+    column. Objects in singleton groups match themselves. Returns (O,)
+    goal indices (identity for inactive slots)."""
+    O = obj_pos.shape[0]
+    cost = jnp.linalg.norm(
+        obj_pos[:, None, :] - goal_pos[None, :, :], axis=-1
+    )
+    valid = (
+        (group_ids[:, None] == group_ids[None, :])
+        & active_mask[:, None] & active_mask[None, :]
+    )
+    inf = jnp.asarray(jnp.inf, cost.dtype)
+    cost = jnp.where(valid, cost, inf)
+    iota = jnp.arange(O)
+
+    def body(carry, _):
+        cost, match = carry
+        flat = jnp.argmin(cost.reshape(-1))
+        i, j = flat // O, flat % O
+        ok = jnp.isfinite(cost.reshape(-1)[flat])
+        match = jnp.where(ok & (iota == i), j, match)
+        retire = (iota == i)[:, None] | (iota == j)[None, :]
+        cost = jnp.where(ok & retire, inf, cost)
+        return (cost, match), None
+
+    (_, match), _ = jax.lax.scan(body, (cost, iota), None, length=O)
+    return match
+
+
+def relative_rot_euler(
+    q_goal: jax.Array, q_cur: jax.Array, dist_type: str = "full"
+) -> jax.Array:
+    """(O, 3) per-object relative rotation as euler angles — the
+    `rel_goal_obj_rot` observation (goals/object_state.py:196-201
+    rot_dist_funcs feeding relative_goal:492-499). mod90/mod180 reduce by
+    the object's symmetry group first (euler_angle_difference with mod);
+    icp reports the full euler difference (the reference's ICP euler path
+    also falls back to it when ICP cannot improve the match)."""
+    if dist_type in ("full", "icp"):
+        diff = rot.quat_normalize(rot.quat_difference(q_goal, q_cur))
+        return jax.vmap(rot.quat2euler)(diff)
+    from robogym_tpu.envs.dactyl.cube_env import PARALLEL_QUATS
+
+    if dist_type == "mod180":
+        sym = jnp.asarray(rot.get_parallel_rotations_180(), q_goal.dtype)
+    else:  # mod90
+        sym = jnp.asarray(PARALLEL_QUATS, q_goal.dtype)
+
+    def per_obj(a, b):
+        diffs = jax.vmap(lambda s: rot.quat_normalize(
+            rot.quat_difference(rot.quat_mul(a, s), b)
+        ))(sym)
+        mags = jax.vmap(rot.quat_magnitude)(diffs)
+        return rot.quat2euler(diffs[jnp.argmin(mags)])
+
+    return jax.vmap(per_obj)(q_goal, q_cur)
+
+
 class ObjectStateGoal:
     """Free-placement position(+rotation) goal
     (goals/object_state.py:173-599). Satisfies the
@@ -188,14 +255,44 @@ class ObjectStateGoal:
             "goal_valid": valid,
         }
 
+    def _match(
+        self, goal: Dict[str, jax.Array], cur_pos: jax.Array,
+        active_mask: jax.Array,
+    ) -> jax.Array:
+        """Goal index per object: greedy within-group assignment when the
+        episode has duplicate-object groups, identity otherwise."""
+        if "group_ids" in goal:
+            return greedy_group_match(
+                cur_pos, goal["obj_pos"], goal["group_ids"], active_mask
+            )
+        return jnp.arange(cur_pos.shape[0])
+
+    def relative_goal(
+        self, goal: Dict[str, jax.Array], d: Data, active_mask: jax.Array
+    ) -> Dict[str, jax.Array]:
+        """rel_goal_obj_pos / rel_goal_obj_rot after duplicate matching
+        (goals/object_state.py:492-584 relative_goal)."""
+        cur_pos = sim_lib.object_positions(self.idx, d)
+        cur_quat = sim_lib.object_quats(self.idx, d)
+        match = self._match(goal, cur_pos, active_mask)
+        mask = active_mask.astype(cur_pos.dtype)[:, None]
+        rel_rot = relative_rot_euler(
+            goal["obj_rot"][match], cur_quat, self.args.rot_dist_type
+        )
+        return {
+            "obj_pos": (goal["obj_pos"][match] - cur_pos) * mask,
+            "obj_rot": rot.normalize_angles(rel_rot) * mask,
+        }
+
     def goal_distance(
         self, goal: Dict[str, jax.Array], d: Data, active_mask: jax.Array
     ) -> Dict[str, jax.Array]:
         cur_pos = sim_lib.object_positions(self.idx, d)
         cur_quat = sim_lib.object_quats(self.idx, d)
-        pos_dist = jnp.linalg.norm(goal["obj_pos"] - cur_pos, axis=-1)
+        match = self._match(goal, cur_pos, active_mask)
+        pos_dist = jnp.linalg.norm(goal["obj_pos"][match] - cur_pos, axis=-1)
         rdist = rot_distance(
-            goal["obj_rot"], cur_quat, self.args.rot_dist_type,
+            goal["obj_rot"][match], cur_quat, self.args.rot_dist_type,
             verts=self.icp_verts,
         )
         mask = active_mask.astype(pos_dist.dtype)

@@ -172,7 +172,7 @@ class HoldoutRearrangeEnv(blocks_lib.BlocksRearrangeEnv):
 
     def _reset_model_fields(self, key):
         # holdouts fix colors/materials in the config (holdout.py:86-92)
-        return None, self._object_half_sizes()
+        return None, self._object_half_sizes(), jnp.arange(self.max_num_objects)
 
     def reset(self, key: jax.Array):
         state, obs = super().reset(key)
@@ -188,9 +188,13 @@ class HoldoutRearrangeEnv(blocks_lib.BlocksRearrangeEnv):
 
             d = physics.fwd_position(self.model, d)
             active = self._active_mask()
-            goal = self.goal_gen.next_goal(
-                jax.random.fold_in(key, 11), active,
-                self._object_half_sizes(), self.num_objects, d,
+            goal = self._with_placement_info(
+                self.goal_gen.next_goal(
+                    jax.random.fold_in(key, 11), active,
+                    self._object_half_sizes(), self.num_objects, d,
+                ),
+                active, jax.random.fold_in(key, 11),
+                jnp.arange(self.max_num_objects),
             )
             state = state.replace(
                 physics=d, goal=goal,

@@ -238,8 +238,9 @@ class MeshRearrangeEnv(blocks_lib.BlocksRearrangeEnv):
             colors = jnp.tile(
                 jnp.asarray([0.5, 0.5, 0.5, 1.0], self.dtype), (O, 1)
             )
+            group_ids = jnp.arange(O)
         else:
-            _, colors = self._sample_object_groups(k_groups)
+            group_ids, colors = self._sample_object_groups(k_groups)
         mv = self.model.mesh_convex_vert
         mm = self.model.mesh_convex_mask
         mids = jnp.asarray(self._slot_mesh_ids)
@@ -267,7 +268,7 @@ class MeshRearrangeEnv(blocks_lib.BlocksRearrangeEnv):
             ].set(colors),
         }
         sizes = self.bank.bbox_half[cand]
-        return fields, sizes
+        return fields, sizes, group_ids
 
 
 class YcbRearrangeEnv(MeshRearrangeEnv):

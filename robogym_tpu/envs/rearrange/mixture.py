@@ -113,7 +113,7 @@ class MixtureRearrangeEnv(mesh_env_lib.MeshRearrangeEnv):
         MeshRearrangeEnv's random path)."""
         O = self.max_num_objects
         mids = jnp.asarray(self._slot_mesh_ids)
-        _, colors = self._sample_object_groups(key)
+        group_ids, colors = self._sample_object_groups(key)
         fields = {
             "mesh_convex_vert": self.model.mesh_convex_vert.at[mids].set(
                 self.bank.hull_vert[cand]
@@ -140,7 +140,7 @@ class MixtureRearrangeEnv(mesh_env_lib.MeshRearrangeEnv):
                 jnp.asarray(self.idx.object_geom_ids)
             ].set(colors),
         }
-        return fields, self.bank.bbox_half[cand]
+        return fields, self.bank.bbox_half[cand], group_ids
 
 
 def make_env(constants=None, parameters=None, dtype=jnp.float32, **kw):

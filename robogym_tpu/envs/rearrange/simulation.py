@@ -253,6 +253,34 @@ def check_objects_off_table(
     return off
 
 
+def in_placement_area(
+    idx: RearrangeIndex, pos: jax.Array, num_objects: int,
+    used_table_portion: float = 1.0, margin: float = 0.02,
+    soft: bool = False, key: Optional[jax.Array] = None,
+    active_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-object bool: within the placement area, jittable analogue of
+    check_objects_in_placement_area (simulation/base.py:847-902). `margin`
+    is the per-dimension tolerance outside the boundary; `soft` labels
+    objects inside the margin band stochastically with one shared uniform
+    draw, exactly the reference's scalar np.random.random() broadcast.
+    Inactive (padding) slots report True (base.py:894-897)."""
+    lo, hi = idx.placement_bounds(num_objects, used_table_portion)
+    lo = jnp.asarray(lo, pos.dtype)
+    hi = jnp.asarray(hi, pos.dtype)
+    dist = jnp.maximum(jnp.maximum(pos - hi, lo - pos), 0.0)
+    max_dist = jnp.max(dist, axis=-1)                       # (O,)
+    if soft:
+        assert key is not None, "soft placement mask needs a PRNG key"
+        u = jax.random.uniform(key, (), pos.dtype)
+        inside = u > jnp.clip(max_dist / margin, 0.0, 1.0)
+    else:
+        inside = max_dist < margin
+    if active_mask is not None:
+        inside = inside | ~active_mask
+    return inside
+
+
 def gripper_table_contact(idx: RearrangeIndex, m: Model, d: Data) -> jax.Array:
     """Any gripper-geom <-> table contact with force
     (ur16e/mujoco/simulation/base.py:142-167)."""

@@ -66,7 +66,8 @@ class TableSettingRearrangeEnv(mesh_env_lib.MeshRearrangeEnv):
             ),
             "geom_rgba": self.model.geom_rgba.at[gids].set(colors),
         }
-        return fields, self.bank.bbox_half[cand] * scales
+        return (fields, self.bank.bbox_half[cand] * scales,
+                jnp.arange(self.max_num_objects))
 
 
 def make_env(constants=None, parameters=None, dtype=jnp.float32):
