@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+BIG_KERNEL = 1e10   # matches driver.BIG (inactive-slot sentinel)
 
 # interpret-mode switch for CPU correctness tests
 INTERPRET = False
@@ -73,15 +74,12 @@ def _dirs12_np():
     return ico / np.linalg.norm(ico, axis=1, keepdims=True)
 
 
-def _hull_kernel(DX, v1_ref, v2_ref, c1_ref, c2_ref, xd_ref,
-                 dist_o, pos_o, n_o, p2_o):
+def _sweep_witness(DX, v1, v2, c1, c2, xd):
+    """Shared traced body of the hull kernels: the staged support sweep and
+    witness-point extraction. Shapes: v (K, 3, V, L), c (K, 3, L),
+    xd (K, DXp, 3, L). Returns (dist, p1, p2, (n0, n1, n2), cv1, cv2) with
+    p1/p2 as 3-lists of (K, L)."""
     f32 = jnp.float32
-    v1 = v1_ref[:]                       # (K, 3, V1, L) f32 world verts
-    v2 = v2_ref[:]
-    c1 = c1_ref[:]                       # (K, 3, L)
-    c2 = c2_ref[:]
-    xd = xd_ref[:]                       # (K, DXp, 3, L) extra dirs
-
     bf = jnp.bfloat16
     cv1 = (v1 - c1[:, :, None, :]).astype(bf)
     cv2 = (v2 - c2[:, :, None, :]).astype(bf)
@@ -177,13 +175,128 @@ def _hull_kernel(DX, v1_ref, v2_ref, c1_ref, c2_ref, xd_ref,
     dist = -(
         n0 * (p1[0] - p2[0]) + n1 * (p1[1] - p2[1]) + n2 * (p1[2] - p2[2])
     )
+    return dist, p1, p2, (n0, n1, n2), cv1, cv2
 
+
+def _hull_kernel(DX, v1_ref, v2_ref, c1_ref, c2_ref, xd_ref,
+                 dist_o, pos_o, n_o, p2_o):
+    dist, p1, p2, (n0, n1, n2), _, _ = _sweep_witness(
+        DX, v1_ref[:], v2_ref[:], c1_ref[:], c2_ref[:], xd_ref[:]
+    )
     dist_o[:] = dist
     pos_o[:] = jnp.stack(
         [0.5 * (p1[i] + p2[i]) for i in range(3)], axis=1
     )
     n_o[:] = jnp.stack([n0, n1, n2], axis=1)
     p2_o[:] = jnp.stack(p2, axis=1)
+
+
+MANIFOLD_TOL = 5e-3
+
+
+def _manifold_kernel(DX, v1_ref, v2_ref, c1_ref, c2_ref, xd_ref,
+                     dist_o, pos_o, n_o):
+    """Box(v1 = 8 world corners) vs hull(v2): full 4-point contact manifold
+    in one program (driver.py _collide_box_convex_group moved into VMEM).
+    After the shared sweep: score every box corner by its depth below the
+    hull's contact plane, laterally validate against hull support bounds in
+    the tangent frame, and select the 4 deepest valid corners by an
+    unrolled min-and-retire pass over the 8 corners. Slot 3 falls back to
+    the witness point when fewer than 4 corners are valid."""
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    v1 = v1_ref[:]
+    c2 = c2_ref[:]
+    dist0, p1, p2, (n0, n1, n2), cv1, cv2 = _sweep_witness(
+        DX, v1, v2_ref[:], c1_ref[:], c2, xd_ref[:]
+    )
+    pos0 = [0.5 * (p1[i] + p2[i]) for i in range(3)]
+
+    # tangent frame of the contact normal (same helper-pick as the rings)
+    small = jnp.abs(n0) < 0.5
+    h0 = jnp.where(small, 1.0, 0.0)
+    h1 = jnp.where(small, 0.0, 1.0)
+    t10 = -n2 * h1
+    t11 = n2 * h0
+    t12 = n0 * h1 - n1 * h0
+    tn = jax.lax.rsqrt(t10 * t10 + t11 * t11 + t12 * t12 + 1e-24)
+    t10, t11, t12 = t10 * tn, t11 * tn, t12 * tn
+    t20 = n1 * t12 - n2 * t11
+    t21 = n2 * t10 - n0 * t12
+    t22 = n0 * t11 - n1 * t10
+    tdirs = ((t10, t11, t12), (-t10, -t11, -t12),
+             (t20, t21, t22), (-t20, -t21, -t22))
+
+    # hull2 support bound per tangent dir: bf16 max over centered verts +
+    # f32 center term (value error ~0.4% of hull extent, under the 5e-3
+    # lateral tolerance)
+    c2c = [c2[:, i, :] for i in range(3)]
+    bounds = []
+    for d0, d1, d2 in tdirs:
+        b0 = d0[:, None, :].astype(bf)
+        b1 = d1[:, None, :].astype(bf)
+        b2 = d2[:, None, :].astype(bf)
+        dots = b0 * cv2[:, 0] + b1 * cv2[:, 1] + b2 * cv2[:, 2]
+        m = jnp.max(dots, axis=1).astype(f32)
+        bounds.append(m + d0 * c2c[0] + d1 * c2c[1] + d2 * c2c[2])
+
+    # per-corner depth below the plane through p2 with normal -n, masked
+    # BIG when laterally outside the hull footprint (f32 dots: 8 corners
+    # only, accuracy matters against the tolerance)
+    V1 = v1.shape[2]
+    pn = p2[0] * n0 + p2[1] * n1 + p2[2] * n2
+    cdist = []
+    corners = []
+    for c in range(V1):
+        cx, cy, cz = v1[:, 0, c, :], v1[:, 1, c, :], v1[:, 2, c, :]
+        depth = pn - (cx * n0 + cy * n1 + cz * n2)
+        ok = None
+        for (d0, d1, d2), bound in zip(tdirs, bounds):
+            proj_ok = (cx * d0 + cy * d1 + cz * d2) <= bound + MANIFOLD_TOL
+            ok = proj_ok if ok is None else (ok & proj_ok)
+        cdist.append(jnp.where(ok, depth, BIG_KERNEL))
+        corners.append((cx, cy, cz))
+
+    # 4 x (min over corners, retire the winner)
+    out_d = []
+    out_p = []
+    for _ in range(4):
+        bv = cdist[0]
+        bi = jnp.zeros_like(bv)
+        bx, by, bz = corners[0]
+        for c in range(1, V1):
+            take = cdist[c] < bv
+            bv = jnp.where(take, cdist[c], bv)
+            bi = jnp.where(take, float(c), bi)
+            bx = jnp.where(take, corners[c][0], bx)
+            by = jnp.where(take, corners[c][1], by)
+            bz = jnp.where(take, corners[c][2], bz)
+        out_d.append(bv)
+        out_p.append((bx, by, bz))
+        cdist = [jnp.where(bi == float(c), BIG_KERNEL, cdist[c])
+                 for c in range(V1)]
+
+    # contact point sits halfway into the penetration along n; slot 3
+    # falls back to the sweep witness when <4 corners were valid
+    use_fb = out_d[3] >= BIG_KERNEL / 2
+    d3 = jnp.where(use_fb, dist0, out_d[3])
+    p3 = [jnp.where(use_fb, pos0[i], out_p[3][i]
+                    - 0.5 * out_d[3] * (n0, n1, n2)[i]) for i in range(3)]
+
+    dist_rows = []
+    pos_rows = []
+    for s in range(3):
+        dist_rows.append(out_d[s])
+        pos_rows.append(jnp.stack(
+            [out_p[s][i] - 0.5 * out_d[s] * (n0, n1, n2)[i]
+             for i in range(3)], axis=1,
+        ))
+    dist_rows.append(d3)
+    pos_rows.append(jnp.stack(p3, axis=1))
+
+    dist_o[:] = jnp.stack(dist_rows, axis=1)              # (K, 4, L)
+    pos_o[:] = jnp.stack(pos_rows, axis=1)                # (K, 4, 3, L)
+    n_o[:] = jnp.stack([n0, n1, n2], axis=1)              # (K, 3, L)
 
 
 @functools.lru_cache(maxsize=32)
@@ -364,5 +477,151 @@ def _make_hull_core(DX: int):
         )
         back = lambda x: jnp.moveaxis(x[..., :B], -1, 0)
         return (back(dist), back(pos), back(n), back(p2)), (True,) * 4
+
+    return core
+
+
+@functools.lru_cache(maxsize=32)
+def _build_manifold_call(K: int, V1: int, V2: int, DX: int):
+    kernel = functools.partial(_manifold_kernel, DX)
+    DXp = max(DX, 1)
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(dims + (LANE,),
+                            lambda i, nd=nd: (0,) * nd + (i,),
+                            memory_space=pltpu.VMEM)
+
+    def call(v1, v2, c1, c2, xd):
+        B = v1.shape[-1]
+        assert B % LANE == 0, B
+        return pl.pallas_call(
+            kernel,
+            grid=(B // LANE,),
+            in_specs=[
+                spec(K, 3, V1), spec(K, 3, V2),
+                spec(K, 3), spec(K, 3), spec(K, DXp, 3),
+            ],
+            out_specs=[spec(K, 4), spec(K, 4, 3), spec(K, 3)],
+            out_shape=[
+                jax.ShapeDtypeStruct((K, 4, B), jnp.float32),
+                jax.ShapeDtypeStruct((K, 4, 3, B), jnp.float32),
+                jax.ShapeDtypeStruct((K, 3, B), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=INTERPRET,
+        )(v1, v2, c1, c2, xd)
+
+    return call
+
+
+def _reference_hull_manifold(v1, v2, c1, c2, xd, dirs12, ring, DX):
+    """Per-env XLA reference of the manifold kernel (identical math: bf16
+    support-bound selection, f32 corner projections). v1 holds the box's 8
+    world corners. Returns (dist4 (K, 4), pos4 (K, 4, 3), n (K, 3)).
+    CONST-FREE (see _reference_hull_pair)."""
+    f32 = v1.dtype
+    bf = jnp.bfloat16
+    dist0, pos0, n, plane_pt = _reference_hull_pair(
+        v1, v2, c1, c2, xd, dirs12, ring, DX
+    )
+    corners = jnp.swapaxes(v1, 1, 2)                       # (K, V1, 3)
+    cdist = jnp.sum(
+        (corners - plane_pt[:, None, :]) * (-n)[:, None, :], axis=-1
+    )                                                      # (K, V1)
+
+    ex = (jax.lax.iota(jnp.int32, 3) == 0).astype(f32)
+    ey = (jax.lax.iota(jnp.int32, 3) == 1).astype(f32)
+    helper = jnp.where(
+        jnp.abs(n[:, :1]) < 0.5,
+        jnp.broadcast_to(ex[None], n.shape),
+        jnp.broadcast_to(ey[None], n.shape),
+    )
+    t1v = jnp.cross(n, helper)
+    t1v = t1v / (jnp.linalg.norm(t1v, axis=-1, keepdims=True) + 1e-24)
+    t2v = jnp.cross(n, t1v)
+    tdirs = jnp.stack([t1v, -t1v, t2v, -t2v], axis=1)      # (K, 4, 3)
+
+    cv2 = (v2 - c2[:, :, None]).astype(bf)
+    dots = jnp.sum(tdirs.astype(bf)[:, :, :, None] * cv2[:, None], axis=2)
+    bounds = jnp.max(dots, axis=-1).astype(f32) + jnp.einsum(
+        "kdi,ki->kd", tdirs, c2
+    )                                                      # (K, 4)
+    proj = jnp.sum(corners[:, :, None, :] * tdirs[:, None, :, :], axis=-1)
+    ok = jnp.all(proj <= bounds[:, None, :] + MANIFOLD_TOL, axis=-1)
+    cdist = jnp.where(ok, cdist, BIG_KERNEL)
+
+    neg4, sel = jax.lax.top_k(-cdist, 4)
+    dist4 = -neg4
+    pos4 = jnp.take_along_axis(corners, sel[:, :, None], axis=1) \
+        - 0.5 * dist4[:, :, None] * n[:, None, :]
+    use_fb = dist4[:, 3] >= BIG_KERNEL / 2
+    is3 = jax.lax.iota(jnp.int32, 4)[None, :] == 3
+    dist4 = jnp.where(is3 & use_fb[:, None], dist0[:, None], dist4)
+    pos4 = jnp.where(
+        (is3 & use_fb[:, None])[:, :, None], pos0[:, None, :], pos4
+    )
+    return dist4, pos4, n
+
+
+@functools.lru_cache(maxsize=32)
+def _make_hull_manifold_core(DX: int):
+    """custom_vmap box-vs-hull 4-point manifold (same argument contract as
+    _make_hull_core). Returns (dist4 (K,4), pos4 (K,4,3), n (K,3))."""
+
+    @custom_batching.custom_vmap
+    def core(v1, v2, c1, c2, xd, dirs12, ring):
+        return _reference_hull_manifold(v1, v2, c1, c2, xd, dirs12, ring, DX)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, v1, v2, c1, c2, xd, dirs12, ring):
+        import os
+
+        def bc(x, b):
+            if b:
+                return x
+            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        v1, v2, c1, c2, xd, dirs12, ring = (
+            bc(a, b) for a, b in zip(
+                (v1, v2, c1, c2, xd, dirs12, ring), in_batched
+            )
+        )
+
+        use_pallas = (
+            (
+                jax.default_backend() not in ("cpu", "gpu")
+                or os.environ.get("ROBOGYM_TPU_FORCE_PALLAS")
+            )
+            and not os.environ.get("ROBOGYM_TPU_NO_PALLAS")
+        )
+        if not use_pallas:
+            out = jax.vmap(
+                lambda *a: _reference_hull_manifold(*a, DX)
+            )(v1, v2, c1, c2, xd, dirs12, ring)
+            return out, (True, True, True)
+
+        B, K, _, V1 = v1.shape
+        V2 = v2.shape[-1]
+        pad = (-B) % LANE
+        t = lambda x: jnp.moveaxis(x.astype(jnp.float32), 0, -1)
+
+        def padlane(x):
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1
+                )
+            return x
+
+        del dirs12, ring
+        call = _build_manifold_call(K, V1, V2, DX)
+        dist4, pos4, n = call(
+            padlane(t(v1)), padlane(t(v2)), padlane(t(c1)), padlane(t(c2)),
+            padlane(t(xd)),
+        )
+        back = lambda x: jnp.moveaxis(x[..., :B], -1, 0)
+        return (back(dist4), back(pos4), back(n)), (True,) * 3
 
     return core

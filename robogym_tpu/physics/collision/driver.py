@@ -383,9 +383,21 @@ def _collide_box_convex_group(t2, data1, data2, n_refine=8):
     """Batched box-vs-hull 4-point manifold over K gathered pairs.
     Returns dist (K,4), pos (K,4,3), normal (K,4,3)."""
     if t2 in _HULL_TYPES:
-        dist0, pos0, n, plane_pt = _collide_hull_group(
-            GeomType.BOX, t2, data1, data2
+        # whole manifold (sweep + corner scoring + top-4) runs in one
+        # fused kernel (convex_kernel._manifold_kernel; XLA reference on
+        # CPU) — the corner-scoring tail used to be ~15 XLA ops here
+        from robogym_tpu.physics.collision import convex_kernel
+
+        v1, c1 = _hull_verts(GeomType.BOX, data1)
+        v2, c2 = _hull_verts(t2, data2)
+        xd, DXn = _hull_extra_dirs(GeomType.BOX, t2, data1, data2)
+        core = convex_kernel._make_hull_manifold_core(DXn)
+        dist4, pos4, n = core(
+            v1, v2, c1, c2, xd,
+            jnp.asarray(convex_kernel._dirs12_np()),
+            jnp.asarray(convex_kernel._ring_np()),
         )
+        return dist4, pos4, jnp.tile(n[:, None, :], (1, 4, 1))
     else:
         dist0, pos0, n = _collide_convex_group(GeomType.BOX, t2, data1,
                                                data2, n_refine)

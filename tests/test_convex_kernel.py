@@ -79,6 +79,81 @@ def test_overlapping_cubes_analytic():
     assert float(pos[0, 0]) == pytest.approx(0.45, abs=5e-3)
 
 
+def test_manifold_kernel_matches_reference():
+    """Interpret-mode manifold kernel vs the XLA reference on random
+    box-vs-hull pairs (box face normals as extra dirs, DX=6)."""
+    rng = np.random.default_rng(7)
+    B, K, V = 4, 3, 16
+    # boxes: 8 corners from random centers/half-extents, axis-aligned
+    centers = rng.standard_normal((B, K, 3)).astype(np.float32) * 0.05
+    halfs = (0.02 + rng.random((B, K, 3)).astype(np.float32) * 0.04)
+    v1 = np.stack(
+        [np.stack([_cube_verts(centers[b, k], halfs[b, k])
+                   for k in range(K)]) for b in range(B)]
+    )                                                       # (B, K, 3, 8)
+    c1 = jnp.asarray(centers)
+    v2, c2 = _random_hulls(rng, B, K, V)
+    # extra dirs: +-xyz unit face normals of the axis-aligned boxes
+    eye = np.eye(3, dtype=np.float32)
+    xd = jnp.asarray(np.broadcast_to(
+        np.concatenate([eye, -eye])[None, None], (B, K, 6, 3)
+    ).copy())
+    v1 = jnp.asarray(v1)
+
+    core = convex_kernel._make_hull_manifold_core(6)
+    dirs12 = jnp.asarray(convex_kernel._dirs12_np())
+    ring = jnp.asarray(convex_kernel._ring_np())
+    vm = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, None, None))
+    ref = jax.jit(vm)(v1, v2, c1, c2, xd, dirs12, ring)
+
+    old = convex_kernel.INTERPRET
+    convex_kernel.INTERPRET = True
+    os.environ["ROBOGYM_TPU_FORCE_PALLAS"] = "1"
+    try:
+        got = jax.jit(vm)(v1, v2, c1, c2, xd, dirs12, ring)
+    finally:
+        convex_kernel.INTERPRET = old
+        del os.environ["ROBOGYM_TPU_FORCE_PALLAS"]
+
+    rd, gd = np.asarray(ref[0]), np.asarray(got[0])
+    # valid (non-sentinel) depth rows must agree
+    valid = (np.abs(rd) < 1e6) & (np.abs(gd) < 1e6)
+    np.testing.assert_allclose(gd[valid], rd[valid], atol=3e-3,
+                               err_msg="dist4")
+    # sentinel pattern (number of valid corners) matches per slot
+    frac_pattern = ((np.abs(rd) < 1e6) != (np.abs(gd) < 1e6)).mean()
+    assert frac_pattern <= 0.10, frac_pattern
+    rp, gp = np.asarray(ref[1]), np.asarray(got[1])
+    bad = (np.abs(gp - rp) > 5e-3) & valid[:, :, :, None]
+    assert bad.mean() <= 0.10
+
+
+def test_manifold_cube_on_slab_four_corners():
+    """A cube resting 1cm deep on a large slab: all 4 bottom corners form
+    the manifold at equal depth."""
+    v1 = jnp.asarray(
+        _cube_verts(np.asarray([0.0, 0.0, 0.49], np.float32), 0.5)
+    )[None]
+    v2 = jnp.asarray(
+        _cube_verts(np.asarray([0.0, 0.0, -1.0], np.float32),
+                    np.asarray([2.0, 2.0, 1.0], np.float32))
+    )[None]
+    c1 = jnp.asarray([[0.0, 0.0, 0.49]])
+    c2 = jnp.asarray([[0.0, 0.0, -1.0]])
+    eye = np.eye(3, dtype=np.float32)
+    xd = jnp.asarray(np.concatenate([eye, -eye])[None])
+    core = convex_kernel._make_hull_manifold_core(6)
+    dirs12 = jnp.asarray(convex_kernel._dirs12_np())
+    ring = jnp.asarray(convex_kernel._ring_np())
+    dist4, pos4, n = core(v1, v2, c1, c2, xd, dirs12, ring)
+    d = np.asarray(dist4[0])
+    assert np.all(np.abs(d - (-0.01)) < 5e-3), d
+    p = np.asarray(pos4[0])
+    # four distinct xy corners at +-0.5
+    assert np.allclose(np.sort(np.abs(p[:, :2]).ravel()), 0.5, atol=5e-3)
+    assert abs(abs(float(n[0, 2])) - 1.0) < 1e-4
+
+
 def test_separated_cubes_distance():
     v1 = jnp.asarray(_cube_verts(np.zeros(3, np.float32), 0.5))[None]
     v2 = jnp.asarray(_cube_verts(np.asarray([1.3, 0, 0], np.float32), 0.5))[None]
