@@ -157,12 +157,13 @@ def _sweep_witness(DX, v1, v2, c1, c2, xd):
 
     best_s, n0, n1, n2 = best
 
-    # witness extraction at the winning direction (f32 verts, one-hot avg)
+    # witness extraction at the winning direction (f32 verts, one-hot avg).
+    # The max-compare runs in f32: Mosaic on v5e rejects bf16 vector cmpf.
     def extract(cv, v, d0, d1, d2, neg):
         b0 = d0[:, None, :].astype(bf)
         b1 = d1[:, None, :].astype(bf)
         b2 = d2[:, None, :].astype(bf)
-        dots = b0 * cv[:, 0] + b1 * cv[:, 1] + b2 * cv[:, 2]
+        dots = (b0 * cv[:, 0] + b1 * cv[:, 1] + b2 * cv[:, 2]).astype(f32)
         if neg:
             dots = -dots
         dmax = jnp.max(dots, axis=1, keepdims=True)
