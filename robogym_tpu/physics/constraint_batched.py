@@ -209,17 +209,38 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
               pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
               mask1, mask2, rc1, rc2, solref_c, solimp_c,
               cdof, qvel, qM, *tail):
-        del axis_size
         import os
 
         use_pallas = (
-            all(in_batched)
-            and (
+            (
                 jax.default_backend() not in ("cpu", "gpu")
                 or os.environ.get("ROBOGYM_TPU_FORCE_PALLAS")
             )
             and not os.environ.get("ROBOGYM_TPU_NO_PALLAS")
         )
+        if use_pallas:
+            # broadcast unbatched operands (constant scalar-block rows,
+            # model-constant solref/floss, shared damp/dt) to a uniform
+            # leading batch — requiring all(in_batched) silently dropped
+            # the whole fused path to the vmapped-XLA fallback (two
+            # batched Choleskys per substep) on every real env, since
+            # joint-limit J rows are model constants
+            def bc(x, b):
+                if b:
+                    return x
+                return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+            args = [
+                J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
+                pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+                mask1, mask2, rc1, rc2, solref_c, solimp_c,
+                cdof, qvel, qM, *tail,
+            ]
+            args = [bc(a, b) for a, b in zip(args, in_batched)]
+            (J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
+             pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+             mask1, mask2, rc1, rc2, solref_c, solimp_c,
+             cdof, qvel, qM, *tail) = args
         if not use_pallas:
             mapped = jax.vmap(
                 reference,
