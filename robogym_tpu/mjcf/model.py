@@ -439,6 +439,9 @@ class Contact(_Replaceable):
     geom2: jax.Array       # (ncon,)
     active: jax.Array      # (ncon,) bool — dist < includemargin
     condim: jax.Array      # (ncon,) int32 contact dimensionality per slot
+    body1: jax.Array       # (ncon,) int32 geom_bodyid[geom1] (emitted by the
+    body2: jax.Array       # (ncon,) int32  driver so the constraint prelude
+    #                        needs no per-env body-id gather)
 
 
 @jax.tree_util.register_dataclass
@@ -529,6 +532,7 @@ def make_data(model: Model, dtype=jnp.float32, qpos0: Optional[np.ndarray] = Non
         geom1=jnp.zeros(ncon, jnp.int32), geom2=jnp.zeros(ncon, jnp.int32),
         active=jnp.zeros(ncon, bool),
         condim=jnp.full(ncon, 3, jnp.int32),
+        body1=jnp.zeros(ncon, jnp.int32), body2=jnp.zeros(ncon, jnp.int32),
     )
 
     return Data(

@@ -568,21 +568,57 @@ def _post_gather_prelude(m: Model, d: Data):
 
     score = jnp.where(con.active, con.dist - con.includemargin, BIG)
     _, sel = jax.lax.top_k(-score, S)
-    geom_bodyid = jnp.asarray(c.geom_bodyid)
-    b1 = geom_bodyid[con.geom1[sel]]
-    b2 = geom_bodyid[con.geom2[sel]]
-    rootid = jnp.asarray(c.body_rootid)
+    # ONE one-hot contraction fetches every per-slot field of the S winners
+    # (pos/frame/dist/margin/friction/solref/solimp/condim/active/body ids).
+    # Per-env dynamic gathers lower to scalar loops on TPU; this is an MXU
+    # matmul (S, ncon) @ (ncon, 30).
+    from robogym_tpu.physics.collision.driver import _onehot
+
+    oh = _onehot(sel, ncon, dtype)                       # (S, ncon)
+    f32 = lambda a: a.astype(dtype)
+    ctab = jnp.concatenate(
+        [
+            con.pos,                                     # 0:3
+            con.frame.reshape(ncon, 9),                  # 3:12
+            con.dist[:, None],                           # 12
+            con.includemargin[:, None],                  # 13
+            con.friction,                                # 14:19
+            con.solref,                                  # 19:21
+            con.solimp,                                  # 21:26
+            f32(con.condim)[:, None],                    # 26
+            f32(con.active)[:, None],                    # 27
+            f32(con.body1)[:, None],                     # 28
+            f32(con.body2)[:, None],                     # 29
+        ],
+        axis=-1,
+    )
+    g = oh @ ctab                                        # (S, 30)
+    pos_c = g[:, 0:3]
+    frame_c = g[:, 3:12].reshape(S, 3, 3)
+    dist_c, margin_c = g[:, 12], g[:, 13]
+    fric_c = g[:, 14:19]
+    solref_c, solimp_c = g[:, 19:21], g[:, 21:26]
+    cd_sel = jnp.round(g[:, 26]).astype(jnp.int32)
+    act_c = g[:, 27] > 0.5
+    b1 = jnp.round(g[:, 28]).astype(jnp.int32)
+    b2 = jnp.round(g[:, 29]).astype(jnp.int32)
+    # body-indexed lookups (dof path masks, subtree-root coms) via body
+    # one-hots — (S, nbody) @ (nbody, ·) contractions
+    ohb1 = _onehot(b1, c.nbody, dtype)
+    ohb2 = _onehot(b2, c.nbody, dtype)
+    rootid = np.asarray(c.body_rootid)
     dofmask = jnp.asarray(c.body_dof_mask, dtype)
+    rootcom = d.subtree_com[rootid]                      # static-index rows
     head = (
         J_s, pos_s, solref_s, solimp_s, floss_s, active_s.astype(dtype),
-        con.pos[sel], con.frame[sel], con.dist[sel], con.includemargin[sel],
-        con.friction[sel], con.active[sel], con.condim[sel],
-        dofmask[b1], dofmask[b2],
-        d.subtree_com[rootid[b1]], d.subtree_com[rootid[b2]],
-        con.solref[sel], con.solimp[sel],
+        pos_c, frame_c, dist_c, margin_c,
+        fric_c, act_c, cd_sel,
+        ohb1 @ dofmask, ohb2 @ dofmask,
+        ohb1 @ rootcom, ohb2 @ rootcom,
+        solref_c, solimp_c,
         d.cdof, d.qvel, d.qM,
     )
-    return head, sel, S, nfacet, np.asarray(kind_s, np.int32), J_s.shape[0]
+    return head, oh, S, nfacet, np.asarray(kind_s, np.int32), J_s.shape[0]
 
 
 def _solve_cg_post_gather(m: Model, d: Data, Minv: jax.Array,
@@ -599,7 +635,7 @@ def _solve_cg_post_gather(m: Model, d: Data, Minv: jax.Array,
     pre = _post_gather_prelude(m, d)
     if pre is None:
         return None
-    head, sel, S, nfacet, kind_s, n_s = pre
+    head, oh, S, nfacet, kind_s, n_s = pre
     ncon = d.contact.dist.shape[0]
     dtype = d.qpos.dtype
     x0 = jnp.where(jnp.isfinite(d.qacc).all(), d.qacc, d.qacc_smooth)
@@ -621,7 +657,8 @@ def _solve_cg_post_gather(m: Model, d: Data, Minv: jax.Array,
     else:
         x, qfrc, f = out
     block = f[n_s:].reshape(S, nfacet).sum(axis=1)
-    efc_force_contact = jnp.zeros(ncon, dtype).at[sel].set(block)
+    # scatter-by-sel via the transposed one-hot (exact, no TPU scatter)
+    efc_force_contact = block @ oh
     d_out = d.replace(
         qacc=x,
         qfrc_constraint=qfrc,
@@ -648,7 +685,7 @@ def solve_fused_step(m: Model, d: Data, qfrc_smooth: jax.Array):
     pre = _post_gather_prelude(m, d)
     if pre is None:
         return None
-    head, sel, S, nfacet, kind_s, n_s = pre
+    head, oh, S, nfacet, kind_s, n_s = pre
     ncon = d.contact.dist.shape[0]
     dtype = d.qpos.dtype
 
@@ -662,7 +699,8 @@ def solve_fused_step(m: Model, d: Data, qfrc_smooth: jax.Array):
         *head, qfrc_smooth, d.qacc, damp, dtv
     )
     block = f[n_s:].reshape(S, nfacet).sum(axis=1)
-    efc_force_contact = jnp.zeros(ncon, dtype).at[sel].set(block)
+    # scatter-by-sel via the transposed one-hot (exact, no TPU scatter)
+    efc_force_contact = block @ oh
     d_out = d.replace(
         qacc=x,
         qacc_smooth=qs,
