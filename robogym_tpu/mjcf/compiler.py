@@ -65,7 +65,7 @@ _PAIR_NCON = {
     (GeomType.PLANE, GeomType.CAPSULE): 2,
     (GeomType.PLANE, GeomType.CYLINDER): 4,
     (GeomType.PLANE, GeomType.ELLIPSOID): 1,
-    (GeomType.PLANE, GeomType.BOX): 4,
+    (GeomType.PLANE, GeomType.BOX): 8,
     (GeomType.PLANE, GeomType.MESH): 4,
     (GeomType.SPHERE, GeomType.SPHERE): 1,
     (GeomType.SPHERE, GeomType.CAPSULE): 1,
@@ -78,7 +78,7 @@ _PAIR_NCON = {
     (GeomType.CAPSULE, GeomType.MESH): 1,
     (GeomType.CAPSULE, GeomType.ELLIPSOID): 1,
     (GeomType.CAPSULE, GeomType.CYLINDER): 1,
-    (GeomType.BOX, GeomType.BOX): 8,
+    (GeomType.BOX, GeomType.BOX): 17,
     (GeomType.BOX, GeomType.MESH): 4,
     (GeomType.BOX, GeomType.ELLIPSOID): 1,
     (GeomType.BOX, GeomType.CYLINDER): 4,

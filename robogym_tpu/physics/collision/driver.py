@@ -39,7 +39,7 @@ BIG = 1e10
 _PLANE_PRIM = {
     GeomType.SPHERE: (prim.plane_sphere, 1),
     GeomType.CAPSULE: (prim.plane_capsule, 2),
-    GeomType.BOX: (prim.plane_box, 4),
+    GeomType.BOX: (prim.plane_box, 8),
     GeomType.CYLINDER: (prim.plane_cylinder, 4),
     GeomType.ELLIPSOID: (prim.plane_ellipsoid, 1),
 }
@@ -49,7 +49,9 @@ _PRIM = {
     (GeomType.SPHERE, GeomType.BOX): (prim.sphere_box, 1),
     (GeomType.CAPSULE, GeomType.CAPSULE): (prim.capsule_capsule, 1),
     (GeomType.CAPSULE, GeomType.BOX): (prim.capsule_box, 2),
-    (GeomType.BOX, GeomType.BOX): (prim.box_box, 8),
+    # box_box emits its full candidate set (8+8 corners + SAT witness) —
+    # the former top-8 selection needed per-env argsort+gather (slow on TPU)
+    (GeomType.BOX, GeomType.BOX): (prim.box_box, 17),
 }
 _CONVEX_TYPES = (
     GeomType.SPHERE,

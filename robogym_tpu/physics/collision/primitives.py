@@ -61,19 +61,19 @@ def plane_capsule(xp1, xm1, s1, xp2, xm2, s2):
 
 
 def plane_box(xp1, xm1, s1, xp2, xm2, s2):
+    """Plane vs box: ALL 8 corners as slots (at most 4 can touch a plane;
+    the rest read dist>0 and stay inactive). Emitting every candidate keeps
+    the kernel free of argsort + per-env gathers, which dominate on TPU —
+    slots are cheap, sorts are not."""
     n = xm1[:, 2]
-    # 8 corners; report the 4 deepest
     signs = jnp.asarray(
         [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)],
         xp1.dtype,
     )
     corners = xp2 + (signs * s2) @ xm2.T  # (8,3)
     dist = (corners - xp1) @ n
-    # 4 smallest distances
-    idx = jnp.argsort(dist)[:4]
-    dist4 = dist[idx]
-    pos4 = corners[idx] - 0.5 * dist4[:, None] * n[None, :]
-    return dist4, pos4, jnp.tile(n, (4, 1))
+    pos = corners - 0.5 * dist[:, None] * n[None, :]
+    return dist, pos, jnp.tile(n, (8, 1))
 
 
 def plane_convex(xp1, xm1, s1, xp2, xm2, verts, mask):
@@ -217,9 +217,14 @@ def box_box(xp1, xm1, s1, xp2, xm2, s2):
 
     depths = jax.vmap(depth_along)(axes)           # >0 = overlapping
     depths = jnp.where(valid, depths, BIG)
-    k = jnp.argmin(depths)
-    sat_depth = depths[k]                          # min overlap (can be <0)
-    n = axes[k]
+    # min-axis select via one-hot (argmin + gather lower to per-env scalar
+    # loops on TPU); a static ramp breaks exact ties toward the lower index
+    ramp = jnp.arange(depths.shape[0], dtype=dtype) * 1e-7
+    dsel = depths + ramp
+    w = (dsel <= jnp.min(dsel)).astype(dtype)
+    w = w / jnp.maximum(jnp.sum(w), 1.0)
+    sat_depth = jnp.sum(depths * w)                # min overlap (can be <0)
+    n = jnp.sum(axes * w[:, None], axis=0)
     n = jnp.where(jnp.dot(n, t) < 0, -n, n)        # point from box1 to box2
 
     # --- manifold candidates: corners of box2 measured against box1 and
@@ -250,9 +255,10 @@ def box_box(xp1, xm1, s1, xp2, xm2, s2):
     dist_all = jnp.concatenate([d2, d1, d_sat[None]])          # (17,)
     pos_all = jnp.concatenate([p2, p1, p_sat[None]], axis=0)   # (17,3)
 
-    # top-8 deepest
-    sel = jnp.argsort(dist_all)[:8]
-    return dist_all[sel], pos_all[sel], jnp.tile(n, (8, 1))
+    # ALL 17 candidates become slots (invalid ones carry dist=BIG and stay
+    # inactive). The former top-8 argsort + gathers cost ~3 ms/substep at
+    # B=1024 for 15 pairs; slots are cheap, per-env sorts are not.
+    return dist_all, pos_all, jnp.tile(n, (17, 1))
 
 
 def capsule_box(xp1, xm1, s1, xp2, xm2, s2):

@@ -230,6 +230,8 @@ def test_contact_wrench_unit():
         geom2=jnp.asarray([7, 0], jnp.int32),
         active=jnp.asarray([True, True]),
         condim=jnp.full(ncon, 3, jnp.int32),
+        body1=jnp.zeros(ncon, jnp.int32),
+        body2=jnp.zeros(ncon, jnp.int32),
     )
 
     class _D:
