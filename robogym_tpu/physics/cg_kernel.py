@@ -40,8 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 
-# must match constraint._make_cg_core's alphas (first-min tie-break too)
-ALPHAS = (2.0, 1.0, 0.5, 0.25, 0.12, 0.06, 0.03, 0.015, 0.005, 0.0)
+# must match constraint._make_cg_core's line search (first-min tie-break
+# too): frozen-active-set Newton step + these safeguard scales
+LS_SCALES = (2.0, 1.0, 0.5, 0.125)
 
 # interpret-mode switch for CPU correctness tests
 INTERPRET = False
@@ -102,25 +103,10 @@ def _cg_kernel(iterations,
     def body(_, carry):
         x, jar, g, Mg, p = carry
         Jp = mv_J(p)
-        dx0 = x - qs
-        Mp = mv_M(M, p)
-        Mdx0 = mv_M(M, dx0)
-        c0 = jnp.sum(dx0 * Mdx0, axis=0, keepdims=True)  # (1, L)
-        c1 = jnp.sum(dx0 * Mp, axis=0, keepdims=True)
-        c2 = jnp.sum(p * Mp, axis=0, keepdims=True)
-
-        best_cost = jnp.full_like(c0, jnp.inf)
-        best_a = jnp.zeros_like(c0)
-        for a in ALPHAS:
-            cost = 0.5 * (c0 + 2.0 * a * c1 + a * a * c2) + penalty(
-                jar + a * Jp
-            )
-            take = cost < best_cost
-            best_cost = jnp.where(take, cost, best_cost)
-            best_a = jnp.where(take, a, best_a)
-
-        x = x + best_a * p
-        jar = jar + best_a * Jp
+        x, jar = _line_search_step(
+            x, jar, p, Jp, mv_M, M, qs, force, penalty,
+            Deq, Done, Dfr, floss,
+        )
         g_new = grad(x, jar)
         Mg_new = mv_M(Minv, g_new)
         # Polak-Ribiere+ with automatic restart
@@ -135,6 +121,40 @@ def _cg_kernel(iterations,
     )
     x_out[:] = x
     f_out[:] = -force(jar)
+
+
+def _line_search_step(x, jar, p, Jp, mv_M, M, qs, force, penalty,
+                      Deq, Done, Dfr, floss):
+    """Frozen-active-set Newton line search (shared by both CG kernels).
+
+    phi(a) is convex piecewise-quadratic: a1 = -phi'(0)/phi''(0+) is exact
+    when no row crosses a breakpoint; LS_SCALES safeguards cover over/under-
+    shoot. Only cost DELTAS vs a=0 are compared, so no M @ (x - qs) matvec
+    is needed. Must stay numerically identical to the XLA reference
+    (constraint._scan_cg_solve)."""
+    dx0 = x - qs
+    Mp = mv_M(M, p)
+    c1 = jnp.sum(dx0 * Mp, axis=0, keepdims=True)    # (1, L)
+    c2 = jnp.sum(p * Mp, axis=0, keepdims=True)
+    f0 = force(jar)
+    neg = (jar < 0).astype(jar.dtype)
+    inside = (jnp.abs(Dfr * jar) < floss).astype(jar.dtype)
+    deff = Deq + Done * neg + Dfr * inside
+    phi_p = c1 + jnp.sum(f0 * Jp, axis=0, keepdims=True)
+    phi_pp = jnp.maximum(
+        c2 + jnp.sum(deff * Jp * Jp, axis=0, keepdims=True), 1e-12
+    )
+    a1 = jnp.clip(-phi_p / phi_pp, 0.0, 2.0)
+    pen0 = penalty(jar)
+    best_cost = jnp.zeros_like(c1)
+    best_a = jnp.zeros_like(c1)
+    for s in LS_SCALES:
+        a = a1 * s
+        dcost = a * c1 + 0.5 * a * a * c2 + penalty(jar + a * Jp) - pen0
+        take = dcost < best_cost
+        best_cost = jnp.where(take, dcost, best_cost)
+        best_a = jnp.where(take, a, best_a)
+    return x + best_a * p, jar + best_a * Jp
 
 
 @functools.lru_cache(maxsize=32)
@@ -293,25 +313,10 @@ def _cg_full_kernel(iterations, with_euler, with_smooth,
     def body(_, carry):
         x, jar, g, Mg, p = carry
         Jp = mv_J(p)
-        dx0 = x - qs
-        Mp = mv_M(M, p)
-        Mdx0 = mv_M(M, dx0)
-        c0 = jnp.sum(dx0 * Mdx0, axis=0, keepdims=True)
-        c1 = jnp.sum(dx0 * Mp, axis=0, keepdims=True)
-        c2 = jnp.sum(p * Mp, axis=0, keepdims=True)
-
-        best_cost = jnp.full_like(c0, jnp.inf)
-        best_a = jnp.zeros_like(c0)
-        for a in ALPHAS:
-            cost = 0.5 * (c0 + 2.0 * a * c1 + a * a * c2) + penalty(
-                jar + a * Jp
-            )
-            take = cost < best_cost
-            best_cost = jnp.where(take, cost, best_cost)
-            best_a = jnp.where(take, a, best_a)
-
-        x = x + best_a * p
-        jar = jar + best_a * Jp
+        x, jar = _line_search_step(
+            x, jar, p, Jp, mv_M, M, qs, force, penalty,
+            Deq, Done, Dfr, floss,
+        )
         g_new = grad(x, jar)
         Mg_new = mv_M(Minv, g_new)
         num = jnp.sum(g_new * (Mg_new - Mg), axis=0, keepdims=True)

@@ -713,7 +713,8 @@ def solve_fused_step(m: Model, d: Data, qfrc_smooth: jax.Array):
 import functools
 
 
-ALPHAS = (2.0, 1.0, 0.5, 0.25, 0.12, 0.06, 0.03, 0.015, 0.005, 0.0)
+# line-search safeguard scales around the frozen-active-set Newton step
+LS_SCALES = (2.0, 1.0, 0.5, 0.125)
 
 
 def kind_masked_D(kind: np.ndarray, D: jax.Array):
@@ -776,21 +777,33 @@ def _scan_cg_solve(J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0,
     def body(carry, _):
         x, jar, g, Mg, p = carry
         Jp = J @ p
-        # line search: the smooth term is an exact quadratic in the
-        # step size — coefficients computed ONCE per iteration
+        # line search: the total cost phi(a) is CONVEX piecewise-quadratic
+        # in the step size. Take the frozen-active-set Newton step
+        # a1 = -phi'(0)/phi''(0+) (exact when no row crosses a breakpoint)
+        # and evaluate a few scaled safeguards around it — half the penalty
+        # evaluations of the old fixed alpha grid, and only cost DELTAS
+        # relative to a=0 are needed (drops the M @ dx0 matvec).
         dx0 = x - qs
         Mp = M @ p
-        c0 = dx0 @ (M @ dx0)
         c1 = dx0 @ Mp
         c2 = p @ Mp
-        best_cost = jnp.asarray(jnp.inf, x.dtype)
+        f0 = force(jar)
+        neg = (jar < 0).astype(x.dtype)
+        inside = (jnp.abs(Dfr * jar) < floss).astype(x.dtype)
+        deff = Deq + Done * neg + Dfr * inside
+        phi_p = c1 + jnp.dot(f0, Jp)
+        phi_pp = jnp.maximum(c2 + jnp.dot(deff * Jp, Jp), 1e-12)
+        a1 = jnp.clip(-phi_p / phi_pp, 0.0, 2.0)
+        pen0 = penalty_cost(jar)
+        best_cost = jnp.asarray(0.0, x.dtype)
         best_a = jnp.asarray(0.0, x.dtype)
-        for a in ALPHAS:  # python floats -> inline literals, no consts
-            cost = 0.5 * (c0 + 2.0 * a * c1 + a * a * c2) + penalty_cost(
+        for s in LS_SCALES:  # python floats -> inline literals, no consts
+            a = a1 * s
+            dcost = a * c1 + 0.5 * a * a * c2 + penalty_cost(
                 jar + a * Jp
-            )
-            take = cost < best_cost
-            best_cost = jnp.where(take, cost, best_cost)
+            ) - pen0
+            take = dcost < best_cost
+            best_cost = jnp.where(take, dcost, best_cost)
             best_a = jnp.where(take, a, best_a)
         x = x + best_a * p
         jar = jar + best_a * Jp
