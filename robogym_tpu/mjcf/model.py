@@ -288,6 +288,11 @@ class Option(_Replaceable):
     impratio: jax.Array        # ()
     # static solver config
     iterations: int = dataclasses.field(metadata=dict(static=True), default=20)
+    # iteration budget for the CG solver (a different solver from MuJoCo's
+    # Newton, so the XML `iterations` attr does not transfer): 15 iterations
+    # with the frozen-active-set Newton line search match the former
+    # 20-iteration grid-search solve on the conformance suite
+    cg_iterations: int = dataclasses.field(metadata=dict(static=True), default=15)
     ls_iterations: int = dataclasses.field(metadata=dict(static=True), default=8)
     # active-contact budget: the constraint assembler gathers the
     # `ncon_active` deepest contact slots before building Jacobians (the

@@ -641,7 +641,7 @@ def _solve_cg_post_gather(m: Model, d: Data, Minv: jax.Array,
     x0 = jnp.where(jnp.isfinite(d.qacc).all(), d.qacc, d.qacc_smooth)
 
     core = constraint_batched._make_core(
-        kind_s.tobytes(), int(m.opt.iterations), nfacet,
+        kind_s.tobytes(), int(m.opt.cg_iterations), nfacet,
         euler_args is not None,
     )
     extra = ()
@@ -690,7 +690,7 @@ def solve_fused_step(m: Model, d: Data, qfrc_smooth: jax.Array):
     dtype = d.qpos.dtype
 
     core = constraint_batched._make_core(
-        kind_s.tobytes(), int(m.opt.iterations), nfacet,
+        kind_s.tobytes(), int(m.opt.cg_iterations), nfacet,
         True, True,
     )
     damp = (m.dof_damping + d.act_vel_damping).astype(dtype)
@@ -897,7 +897,7 @@ def _solve_cg(m: Model, d: Data, efc, is_eq, is_one, is_fric, Minv) -> Data:
 
     # warmstart from the previous substep's qacc (zero right after reset)
     x0 = jnp.where(jnp.isfinite(d.qacc).all(), d.qacc, d.qacc_smooth)
-    core = _make_cg_core(int(m.opt.iterations))
+    core = _make_cg_core(int(m.opt.cg_iterations))
     Deq, Done, Dfr = kind_masked_D(kind, D)
     x, f = core(J, aref, Deq, Done, Dfr, floss, M, Minv, d.qacc_smooth, x0)
     qfrc_constraint = J.T @ f

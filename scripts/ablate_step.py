@@ -80,13 +80,13 @@ def main():
     base_caps = {"convex": 16, "box_convex": 32}
     configs = [
         ("base", {}, base_caps),
-        ("iters14", dict(iterations=14), base_caps),
-        ("iters10", dict(iterations=10), base_caps),
+        ("iters12", dict(cg_iterations=12), base_caps),
+        ("iters10", dict(cg_iterations=10), base_caps),
         ("ncon24", dict(ncon_active=24), base_caps),
         ("ncon16", dict(ncon_active=16), base_caps),
         ("bc24", {}, {"convex": 16, "box_convex": 24}),
         ("bc16_cx8", {}, {"convex": 8, "box_convex": 16}),
-        ("lean", dict(iterations=14, ncon_active=24),
+        ("lean", dict(cg_iterations=12, ncon_active=24),
          {"convex": 8, "box_convex": 24}),
     ]
     if args.configs:

@@ -106,6 +106,26 @@ def main():
     for name, (ms, n) in rows:
         print(f"{ms:9.3f} {n:6d}  {name[:110]}")
 
+    # aggregate leaf-op time by source file:line via the compiled HLO's
+    # metadata (op names change between compiles, so map from THIS compile)
+    import re
+
+    hlo = adv_j.lower(state, jax.random.key(0)).compile().as_text()
+    src_of = {}
+    pat = re.compile(
+        r"%([a-zA-Z0-9_.\-]+) = .*?source_file=\"([^\"]*)\" source_line=(\d+)"
+    )
+    for mt in pat.finditer(hlo):
+        src_of[mt.group(1)] = f"{mt.group(2).split('robogym_tpu/')[-1]}:{mt.group(3)}"
+    by_src = defaultdict(float)
+    for name, (ms, n) in agg.items():
+        if name.startswith("jit_") or name.startswith("while"):
+            continue  # containers double-count their children
+        by_src[src_of.get(name, "<unattributed: " + name.split(".")[0] + ">")] += ms
+    print("\nby source line (leaf device ms):")
+    for src, ms in sorted(by_src.items(), key=lambda kv: -kv[1])[: args.top]:
+        print(f"{ms:9.3f}  {src}")
+
 
 if __name__ == "__main__":
     main()
