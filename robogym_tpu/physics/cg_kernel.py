@@ -205,7 +205,77 @@ def _pad8(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _cg_full_kernel(iterations, with_euler, with_smooth,
+def _build_rows(Js, off1, off2, frame, fric, m1, m2, cdof, F, Ep, use_js):
+    """Contact facet rows built IN KERNEL from gathered per-contact data
+    (mirrors constraint_batched._contact_rows_single exactly). Inputs are
+    batch-minor VMEM values:
+      Js (n_s, V, L) scalar rows, off1/off2 (S, 3, L) contact-to-root-com
+      offsets, frame (S, 9, L) flattened contact frames, fric (S, 5, L),
+      m1/m2 (S, V, L) dof path masks, cdof (V, 6, L).
+    Returns J (Ep, V, L). Building J here removes its HBM round trip and
+    the XLA-side (S, V, B) facet intermediates."""
+    S = off1.shape[0]
+    a = [cdof[:, i, :][None] for i in range(3)]      # ang (1, V, L)
+    lin = [cdof[:, 3 + i, :][None] for i in range(3)]
+
+    def jrel(off):
+        oc = [off[:, i, :][:, None, :] for i in range(3)]   # (S, 1, L)
+        return [
+            lin[0] + a[1] * oc[2] - a[2] * oc[1],
+            lin[1] + a[2] * oc[0] - a[0] * oc[2],
+            lin[2] + a[0] * oc[1] - a[1] * oc[0],
+        ]
+
+    j1 = jrel(off1)
+    j2 = jrel(off2)
+    Jrel = [j2[i] * m2 - j1[i] * m1 for i in range(3)]       # (S, V, L)
+
+    def project(row, comps):
+        n0 = frame[:, 3 * row + 0, :][:, None, :]
+        n1 = frame[:, 3 * row + 1, :][:, None, :]
+        n2 = frame[:, 3 * row + 2, :][:, None, :]
+        return n0 * comps[0] + n1 * comps[1] + n2 * comps[2]
+
+    Jn = project(0, Jrel)
+    facets = [Jn]
+    if F >= 4:
+        Jt1 = project(1, Jrel)
+        Jt2 = project(2, Jrel)
+        f0 = fric[:, 0, :][:, None, :]
+        f1 = fric[:, 1, :][:, None, :]
+        facets = [
+            Jn + f0 * Jt1, Jn - f0 * Jt1,
+            Jn + f1 * Jt2, Jn - f1 * Jt2,
+        ]
+    if F >= 6:
+        dm = m2 - m1
+        Jr = [a[i] * dm for i in range(3)]
+        Jtn = project(0, Jr)
+        f2 = fric[:, 2, :][:, None, :]
+        facets += [Jn + f2 * Jtn, Jn - f2 * Jtn]
+    if F == 10:
+        Jr1_ = project(1, Jr)
+        Jr2_ = project(2, Jr)
+        f3 = fric[:, 3, :][:, None, :]
+        f4 = fric[:, 4, :][:, None, :]
+        facets += [
+            Jn + f3 * Jr1_, Jn - f3 * Jr1_,
+            Jn + f4 * Jr2_, Jn - f4 * Jr2_,
+        ]
+    # row order: contact-major, facet-minor (matches the XLA stack+reshape)
+    V, L = Jn.shape[1], Jn.shape[2]
+    rows = jnp.stack(facets, axis=1).reshape(S * F, V, L)
+    # use_js=False: the model has no scalar rows and Js is a dummy block
+    J = jnp.concatenate([Js, rows], axis=0) if use_js else rows
+    E = J.shape[0]
+    if Ep > E:
+        J = jnp.concatenate(
+            [J, jnp.zeros((Ep - E, V, L), J.dtype)], axis=0
+        )
+    return J
+
+
+def _cg_full_kernel(iterations, with_euler, with_smooth, row_build,
                     J_ref, pos_ref, kimp_ref, bref_ref, rcoef_ref, act_ref,
                     floss_ref, eqm_ref, onem_ref, frm_ref,
                     M_ref, Minv_ref, qvel_ref, qs_ref, x0_ref,
@@ -227,15 +297,28 @@ def _cg_full_kernel(iterations, with_euler, with_smooth,
     qs_ref/x0_ref inputs are reinterpreted as qfrc_smooth/qacc_prev and an
     extra qacc_smooth output is appended."""
     outs = 3 + (1 if with_euler else 0) + (1 if with_smooth else 0)
-    euler_refs = rest[:len(rest) - outs]
+    tail_refs = rest[:len(rest) - outs]
     out_refs = rest[len(rest) - outs:]
     x_out, f_out, qfrc_out = out_refs[:3]
+    if row_build:
+        # J_ref is the scalar-row block; the next 7 refs carry the gathered
+        # contact data; J is built in VMEM (see _build_rows)
+        (off1_ref, off2_ref, frame_ref, fric_ref, m1_ref, m2_ref,
+         cdof_ref) = tail_refs[:7]
+        tail_refs = tail_refs[7:]
     if with_euler:
-        Mimp_ref, Minvimp_ref, dt_ref = euler_refs
+        Mimp_ref, Minvimp_ref, dt_ref = tail_refs
         qvel_out = out_refs[3]
     if with_smooth:
         qs_out = out_refs[-1]
-    J = J_ref[:]          # (E, V, L)
+    if row_build:
+        F, Ep, use_js = row_build
+        J = _build_rows(
+            J_ref[:], off1_ref[:], off2_ref[:], frame_ref[:], fric_ref[:],
+            m1_ref[:], m2_ref[:], cdof_ref[:], F, Ep, use_js,
+        )
+    else:
+        J = J_ref[:]      # (E, V, L)
     pos = pos_ref[:]      # (E, L)
     kimp = kimp_ref[:]
     bref = bref_ref[:]
@@ -345,9 +428,15 @@ def _cg_full_kernel(iterations, with_euler, with_smooth,
 
 @functools.lru_cache(maxsize=32)
 def _build_full_call(iterations: int, nv: int, nefc: int,
-                     with_euler: bool = False, with_smooth: bool = False):
-    kernel = functools.partial(_cg_full_kernel, iterations, with_euler,
-                               with_smooth)
+                     with_euler: bool = False, with_smooth: bool = False,
+                     row_build=None):
+    """row_build (static): None, or (n_s, S, F) — the first input is then
+    the (n_s, nv) scalar-row block followed by 7 gathered-contact tensors,
+    and J is built in VMEM (_build_rows)."""
+    kernel = functools.partial(
+        _cg_full_kernel, iterations, with_euler, with_smooth,
+        (row_build[2], nefc, row_build[0] > 0) if row_build else None,
+    )
 
     def spec3(d0, d1):
         return pl.BlockSpec((d0, d1, LANE), lambda i: (0, 0, i),
@@ -358,17 +447,29 @@ def _build_full_call(iterations: int, nv: int, nefc: int,
                             memory_space=pltpu.VMEM)
 
     def call(J, pos, kimp, bref, rcoef, act, floss, eqm, onem, frm,
-             M, Minv, qvel, qs, x0, *euler_inputs):
-        B = J.shape[-1]
+             M, Minv, qvel, qs, x0, *tail_inputs):
+        B = pos.shape[-1]
         assert B % LANE == 0, B
-        in_specs = [
-            spec3(nefc, nv),
+        if row_build:
+            n_s, S, F = row_build
+            # scalar rows; an 8-row dummy block when the model has none
+            j_spec = spec3(n_s if n_s > 0 else 8, nv)
+            rb_specs = [
+                spec3(S, 3), spec3(S, 3), spec3(S, 9), spec3(S, 5),
+                spec3(S, nv), spec3(S, nv), spec3(nv, 6),
+            ]
+        else:
+            j_spec = spec3(nefc, nv)
+            rb_specs = []
+        # operand order: J-or-Js, 9 row maps, M/Minv, qvel/qs/x0,
+        # [7 row-build tensors], [3 euler tensors]
+        in_specs = [j_spec] + [
             spec2(nefc), spec2(nefc), spec2(nefc), spec2(nefc),
             spec2(nefc), spec2(nefc), spec2(nefc), spec2(nefc),
             spec2(nefc),
             spec3(nv, nv), spec3(nv, nv),
             spec2(nv), spec2(nv), spec2(nv),
-        ]
+        ] + rb_specs
         out_specs = [spec2(nv), spec2(nefc), spec2(nv)]
         out_shape = [
             jax.ShapeDtypeStruct((nv, B), jnp.float32),
@@ -393,7 +494,7 @@ def _build_full_call(iterations: int, nv: int, nefc: int,
             ),
             interpret=INTERPRET,
         )(J, pos, kimp, bref, rcoef, act, floss, eqm, onem, frm,
-          M, Minv, qvel, qs, x0, *euler_inputs)
+          M, Minv, qvel, qs, x0, *tail_inputs)
 
     return call
 
@@ -431,11 +532,24 @@ def solve_cg_full(kind: np.ndarray, iterations: int, inputs: dict,
 
     with_smooth: inputs qs/x0 are reinterpreted as qfrc_smooth/qacc_prev and
     qacc_smooth + warmstart are computed in-kernel; adds qacc_smooth (V, B)
-    to the returns."""
+    to the returns.
+
+    Instead of "J", inputs may carry the row-build bundle
+    (Js (n_s, V, B), off1/off2 (S, 3, B), frame (S, 9, B), fric (S, 5, B),
+    m1/m2 (S, V, B), cdof (V, 6, B)): the contact facet rows are then built
+    IN KERNEL (no (E, V, B) J through HBM)."""
     from robogym_tpu.physics.constraint import EQ, FRICTION, ONESIDED
 
-    J = inputs["J"]
-    E, V, B = J.shape
+    row_build = "J" not in inputs
+    if row_build:
+        Js = inputs["Js"]
+        n_s, V, B = Js.shape
+        S = inputs["off1"].shape[0]
+        F = (inputs["pos"].shape[0] - n_s) // S
+        E = n_s + S * F
+    else:
+        J = inputs["J"]
+        E, V, B = J.shape
     Ep, Vp = _pad8(E), _pad8(max(V, 8))
     pad = (-B) % LANE
     dt = jnp.float32
@@ -444,6 +558,11 @@ def solve_cg_full(kind: np.ndarray, iterations: int, inputs: dict,
     def pad2(x, p0):
         if p0 or pad:
             x = jnp.pad(x.astype(dt), ((0, p0), (0, pad)))
+        return x.astype(dt)
+
+    def pad3(x, p0, p1):
+        if p0 or p1 or pad:
+            x = jnp.pad(x.astype(dt), ((0, p0), (0, p1), (0, pad)))
         return x.astype(dt)
 
     def kmask(k):
@@ -458,19 +577,30 @@ def solve_cg_full(kind: np.ndarray, iterations: int, inputs: dict,
     if Ep > E:
         rcoef = rcoef.at[E:, :].set(1.0)
 
+    if row_build:
+        # scalar rows only; an all-zero dummy block when the model has none
+        J3 = pad3(Js, 8 if n_s == 0 else 0, Vp - V)
+        rb = (
+            pad3(inputs["off1"], 0, 0), pad3(inputs["off2"], 0, 0),
+            pad3(inputs["frame"], 0, 0), pad3(inputs["fric"], 0, 0),
+            pad3(inputs["m1"], 0, Vp - V), pad3(inputs["m2"], 0, Vp - V),
+            pad3(inputs["cdof"], Vp - V, 0),
+        )
+    else:
+        J3 = jnp.pad(J.astype(dt), ((0, Ep - E), (0, Vp - V), (0, pad)))
+        rb = ()
+
     extra = ()
     if euler_inputs is not None:
-        J3 = jnp.pad(J.astype(dt), ((0, Ep - E), (0, Vp - V), (0, pad)))
         extra = (
             pad_spd_bm(euler_inputs["Mimp"], V, Vp, B, pad),
             pad_spd_bm(euler_inputs["Minv_imp"], V, Vp, B, pad),
             pad2(euler_inputs["dt"][None, :], 0),
         )
-    else:
-        J3 = jnp.pad(J.astype(dt), ((0, Ep - E), (0, Vp - V), (0, pad)))
 
     call = _build_full_call(int(iterations), Vp, Ep,
-                            euler_inputs is not None, with_smooth)
+                            euler_inputs is not None, with_smooth,
+                            (n_s, S, F) if row_build else None)
     out = call(
         J3,
         pad2(inputs["pos"], Ep - E), pad2(inputs["kimp"], Ep - E),
@@ -480,7 +610,7 @@ def solve_cg_full(kind: np.ndarray, iterations: int, inputs: dict,
         M_t, Minv_t,
         pad2(inputs["qvel"], Vp - V), pad2(inputs["qs"], Vp - V),
         pad2(inputs["x0"], Vp - V),
-        *extra,
+        *rb, *extra,
     )
     # output order: x (V), f (E), qfrc (V), [qvel_new (V)], [qacc_smooth (V)]
     return tuple(

@@ -261,70 +261,19 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
         dt = jnp.float32
         t = lambda x: jnp.moveaxis(x.astype(dt), 0, -1)  # B -> minor
 
-        # ---- J in (E, nv, B) built natively batch-minor
-        cdof_t = t(cdof)                                 # (nv, 6, B)
-        m1 = t(mask1)                                    # (S, nv, B)
-        m2 = t(mask2)
-        o1 = t(pos_c - rc1)                              # (S, 3, B)
-        o2 = t(pos_c - rc2)
-        fr = t(frame_c)                                  # (S, 3, 3, B)
-        fc = t(fric_c)                                   # (S, 5, B)
-
-        a = [cdof_t[:, i, :][None] for i in range(3)]    # ang (1, nv, B)
-        lin = [cdof_t[:, 3 + i, :][None] for i in range(3)]
-
-        def jrel(off):
-            # cross(ang, off) per component; both jac sides share ang/lin
-            oc = [off[:, i, :][:, None, :] for i in range(3)]  # (S,1,B)
-            return [
-                lin[0] + a[1] * oc[2] - a[2] * oc[1],
-                lin[1] + a[2] * oc[0] - a[0] * oc[2],
-                lin[2] + a[0] * oc[1] - a[1] * oc[0],
-            ]
-
-        j1 = jrel(o1)
-        j2 = jrel(o2)
-        Jrel = [j2[i] * m2 - j1[i] * m1 for i in range(3)]  # (S, nv, B)
-
-        def project(row):  # frame row index -> (S, nv, B)
-            n0 = fr[:, row, 0, :][:, None, :]
-            n1 = fr[:, row, 1, :][:, None, :]
-            n2 = fr[:, row, 2, :][:, None, :]
-            return n0 * Jrel[0] + n1 * Jrel[1] + n2 * Jrel[2]
-
-        Jn = project(0)
-        facets = [Jn]
-        if F >= 4:
-            Jt1 = project(1)
-            Jt2 = project(2)
-            f0 = fc[:, 0, :][:, None, :]
-            f1 = fc[:, 1, :][:, None, :]
-            facets = [
-                Jn + f0 * Jt1, Jn - f0 * Jt1,
-                Jn + f1 * Jt2, Jn - f1 * Jt2,
-            ]
-        if F >= 6:
-            dm = m2 - m1
-            Jr = [a[i] * dm for i in range(3)]
-            def projectr(row):
-                n0 = fr[:, row, 0, :][:, None, :]
-                n1 = fr[:, row, 1, :][:, None, :]
-                n2 = fr[:, row, 2, :][:, None, :]
-                return n0 * Jr[0] + n1 * Jr[1] + n2 * Jr[2]
-            Jtn = projectr(0)
-            f2 = fc[:, 2, :][:, None, :]
-            facets += [Jn + f2 * Jtn, Jn - f2 * Jtn]
-        if F == 10:
-            Jr1_ = projectr(1)
-            Jr2_ = projectr(2)
-            f3 = fc[:, 3, :][:, None, :]
-            f4 = fc[:, 4, :][:, None, :]
-            facets += [
-                Jn + f3 * Jr1_, Jn - f3 * Jr1_,
-                Jn + f4 * Jr2_, Jn - f4 * Jr2_,
-            ]
-        rows_t = jnp.stack(facets, axis=1).reshape(S * F, nv, B)
-        J_t = jnp.concatenate([t(J_s), rows_t], axis=0)   # (E, nv, B)
+        # ---- J is built INSIDE the Pallas kernel (cg_kernel._build_rows)
+        # from the small gathered tensors below: no (E, nv, B) J (or its
+        # (S, nv, B) facet intermediates) ever goes through HBM
+        row_bundle = dict(
+            Js=t(J_s),
+            off1=t(pos_c - rc1),                         # (S, 3, B)
+            off2=t(pos_c - rc2),
+            frame=t(frame_c.reshape(B, S, 9)),           # (S, 9, B)
+            fric=t(fric_c),                              # (S, 5, B)
+            m1=t(mask1),                                 # (S, nv, B)
+            m2=t(mask2),
+            cdof=t(cdof),                                # (nv, 6, B)
+        )
 
         # ---- (B, E) coefficient maps (dense batch-major), then transpose
         oks = [cd_sel >= 1]
@@ -358,9 +307,10 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
             Minv_b, qs_b, x0_b = tail
             Minv_t, qs_t, x0_t = t(Minv_b), t(qs_b), t(x0_b)
         inputs = dict(
-            J=J_t, pos=t(pos), kimp=t(kimp), bref=t(bref), rcoef=t(rcoef),
+            pos=t(pos), kimp=t(kimp), bref=t(bref), rcoef=t(rcoef),
             active=t(active), floss=t(floss),
             M=M_t, Minv=Minv_t, qvel=t(qvel), qs=qs_t, x0=x0_t,
+            **row_bundle,
         )
 
         kind_full = np.concatenate(
