@@ -112,10 +112,11 @@ def main():
     n_chips = max(len(jax.devices()), 1)
     baseline_per_chip = 1_000_000 / 8.0  # north-star aggregate over v5p-8
     tag = "wrapped " if os.environ.get("BENCH_WRAPPED") else ""
+    family = "rearrange" if name in ("blocks", "ycb") else "dactyl"
     print(
         json.dumps(
             {
-                "metric": f"dactyl/{name} {tag}env-steps/s @ batch={B} (1 chip)",
+                "metric": f"{family}/{name} {tag}env-steps/s @ batch={B} (1 chip)",
                 "value": round(steps_per_s, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(steps_per_s / (baseline_per_chip * n_chips), 4),

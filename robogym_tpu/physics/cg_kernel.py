@@ -438,18 +438,27 @@ def _build_full_call(iterations: int, nv: int, nefc: int,
         (row_build[2], nefc, row_build[0] > 0) if row_build else None,
     )
 
+    # lane width: big constraint systems (rearrange: E~360, V~56, S~57)
+    # exceed the ~100MB scoped-VMEM budget at 128 lanes once J and the
+    # row-build intermediates live in VMEM — halve the block instead of
+    # failing to compile. Rough footprint: J + ~6 facet temps + 4 (V,V)
+    # mats + ~12 (E,) maps, in f32.
+    S_rb = row_build[1] if row_build else 0
+    est = (nefc * nv + 9 * S_rb * nv + 4 * nv * nv + 14 * nefc) * 4
+    lane = LANE if est * LANE <= 70 * 1024 * 1024 else LANE // 2
+
     def spec3(d0, d1):
-        return pl.BlockSpec((d0, d1, LANE), lambda i: (0, 0, i),
+        return pl.BlockSpec((d0, d1, lane), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
 
     def spec2(d0):
-        return pl.BlockSpec((d0, LANE), lambda i: (0, i),
+        return pl.BlockSpec((d0, lane), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     def call(J, pos, kimp, bref, rcoef, act, floss, eqm, onem, frm,
              M, Minv, qvel, qs, x0, *tail_inputs):
         B = pos.shape[-1]
-        assert B % LANE == 0, B
+        assert B % lane == 0, B
         if row_build:
             n_s, S, F = row_build
             # scalar rows; an 8-row dummy block when the model has none
@@ -485,7 +494,7 @@ def _build_full_call(iterations: int, nv: int, nefc: int,
             out_shape.append(jax.ShapeDtypeStruct((nv, B), jnp.float32))
         return pl.pallas_call(
             kernel,
-            grid=(B // LANE,),
+            grid=(B // lane,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,

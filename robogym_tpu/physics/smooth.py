@@ -48,22 +48,40 @@ def _skew(v: jax.Array) -> jax.Array:
     )
 
 
+def _cross_comps(a, b):
+    """Componentwise cross product of 3-lists of (...,) arrays."""
+    return [
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ]
+
+
 def motion_cross(v: jax.Array, m: jax.Array) -> jax.Array:
-    """Spatial motion cross product v x m, (ang, lin) ordering."""
-    vang, vlin = v[..., :3], v[..., 3:]
-    mang, mlin = m[..., :3], m[..., 3:]
-    ang = jnp.cross(vang, mang)
-    lin = jnp.cross(vang, mlin) + jnp.cross(vlin, mang)
-    return jnp.concatenate([ang, lin], axis=-1)
+    """Spatial motion cross product v x m, (ang, lin) ordering.
+
+    Componentwise on (...,) slices: under vmap the (..., 3) cross-product
+    form tiles at minor-dim 3 (~2% lane density); slice math fuses dense."""
+    va = [v[..., i] for i in range(3)]
+    vl = [v[..., 3 + i] for i in range(3)]
+    ma = [m[..., i] for i in range(3)]
+    ml = [m[..., 3 + i] for i in range(3)]
+    ang = _cross_comps(va, ma)
+    lin1 = _cross_comps(va, ml)
+    lin2 = _cross_comps(vl, ma)
+    return jnp.stack(ang + [lin1[i] + lin2[i] for i in range(3)], axis=-1)
 
 
 def force_cross(v: jax.Array, f: jax.Array) -> jax.Array:
     """Spatial force cross product v x* f, (torque, force) ordering."""
-    vang, vlin = v[..., :3], v[..., 3:]
-    n, fo = f[..., :3], f[..., 3:]
-    torque = jnp.cross(vang, n) + jnp.cross(vlin, fo)
-    force = jnp.cross(vang, fo)
-    return jnp.concatenate([torque, force], axis=-1)
+    va = [v[..., i] for i in range(3)]
+    vl = [v[..., 3 + i] for i in range(3)]
+    n = [f[..., i] for i in range(3)]
+    fo = [f[..., 3 + i] for i in range(3)]
+    t1 = _cross_comps(va, n)
+    t2 = _cross_comps(vl, fo)
+    force = _cross_comps(va, fo)
+    return jnp.stack([t1[i] + t2[i] for i in range(3)] + force, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -183,16 +201,29 @@ def com_pos(m: Model, d: Data) -> Data:
     # world orientation. 6x6 (ang, lin) ordering:
     #   [[ I_c + m S(c)S(c)^T , m S(c) ],
     #    [ m S(c)^T           , m 1    ]]   where c = xipos - root_com
-    I_c = jnp.einsum("bij,bj,bkj->bik", d.ximat, m.body_inertia, d.ximat)
+    # Written COMPONENTWISE on (nbody,) vectors: under vmap, (B, nbody, 3, 3)
+    # einsums tile at minor-dim 3 (~2% lane density); (B, nbody) elementwise
+    # chains fuse lane-dense and the only wide write is the final (.., 36).
+    R = [[d.ximat[:, i, j] for j in range(3)] for i in range(3)]
+    Iv = [m.body_inertia[:, j] for j in range(3)]
+    # I_c[i][k] = sum_j R[i][j] * I[j] * R[k][j]  (symmetric)
+    Ic = [[sum(R[i][j] * Iv[j] * R[k][j] for j in range(3)) for k in range(3)]
+          for i in range(3)]
     cvec = d.xipos - root_com
-    Sk = _skew(cvec)
-    mS = mass[:, None, None] * Sk
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (c.nbody, 3, 3))
-    top = jnp.concatenate([I_c + jnp.einsum("bij,bkj->bik", mS, Sk), mS], axis=-1)
-    bot = jnp.concatenate(
-        [jnp.swapaxes(mS, -1, -2), mass[:, None, None] * eye], axis=-1
-    )
-    cinert66 = jnp.concatenate([top, bot], axis=-2)          # (nbody, 6, 6)
+    cx = [cvec[:, 0], cvec[:, 1], cvec[:, 2]]
+    z = jnp.zeros_like(cx[0])
+    sk = [[z, -cx[2], cx[1]], [cx[2], z, -cx[0]], [-cx[1], cx[0], z]]
+    mS = [[mass * sk[i][j] for j in range(3)] for i in range(3)]
+    # top-left = I_c + (m S) S^T: [i][k] = Ic + sum_j mS[i][j] * sk[k][j]
+    tl = [[Ic[i][k] + sum(mS[i][j] * sk[k][j] for j in range(3))
+           for k in range(3)] for i in range(3)]
+    mI = [[mass if i == k else z for k in range(3)] for i in range(3)]
+    comps = []
+    for i in range(3):
+        comps += tl[i] + mS[i]               # rows 0..2: [I_c+mSS^T | mS]
+    for i in range(3):
+        comps += [mS[k][i] for k in range(3)] + mI[i]   # rows 3..5
+    cinert66 = jnp.stack(comps, axis=-1).reshape(c.nbody, 6, 6)
 
     # cdof (nv, 6): motion axes referenced at the root subtree com —
     # one vectorized pass over all dofs via static per-dof class tables.
@@ -233,8 +264,17 @@ def crb(m: Model, d: Data) -> Data:
     c = m.const
     dtype = d.qpos.dtype
     S = jnp.asarray(tables.body_subtree_mask(c), dtype)
-    IC = (S @ d.cinert.reshape(c.nbody, 36)).reshape(c.nbody, 6, 6)
-    F = jnp.einsum("vij,vj->vi", IC[tables.dof_tables(c)["bid"]], d.cdof)
+    IC36 = S @ d.cinert.reshape(c.nbody, 36)                 # (nbody, 36)
+    ICd = IC36[tables.dof_tables(c)["bid"]]                  # (nv, 36) static
+    # F[:, i] = sum_j IC[i, j] * cdof[:, j] — componentwise (lane-dense
+    # under vmap; the einsum form tiles at minor-dim 6)
+    F = jnp.stack(
+        [
+            sum(ICd[:, 6 * i + j] * d.cdof[:, j] for j in range(6))
+            for i in range(6)
+        ],
+        axis=-1,
+    )
     qMu = d.cdof @ F.T                                       # (nv, nv)
     A = jnp.asarray(tables.dof_ancestor_or_self_upper(c), dtype)
     qMm = qMu * A
@@ -286,9 +326,17 @@ def rne(m: Model, d: Data, cdofdot: jax.Array) -> Data:
     grav = jnp.concatenate([jnp.zeros(3, dtype), -m.opt.gravity])
     mask = jnp.asarray(c.body_dof_mask, dtype)               # (nbody, nv)
     cacc = grav[None, :] + mask @ (cdofdot * d.qvel[:, None])
-    # body forces: f = I a + v x* (I v)
-    Iv = jnp.einsum("bij,bj->bi", d.cinert, d.cvel)
-    f = jnp.einsum("bij,bj->bi", d.cinert, cacc) + force_cross(d.cvel, Iv)
+    # body forces: f = I a + v x* (I v), componentwise (see motion_cross)
+    cin = [[d.cinert[:, i, j] for j in range(6)] for i in range(6)]
+
+    def apply_I(x):
+        return jnp.stack(
+            [sum(cin[i][j] * x[:, j] for j in range(6)) for i in range(6)],
+            axis=-1,
+        )
+
+    Iv = apply_I(d.cvel)
+    f = apply_I(cacc) + force_cross(d.cvel, Iv)
     # qfrc_bias[i] = cdof_i . sum_{b in subtree(body(i))} f_b
     dots = jnp.einsum("vi,bi->bv", d.cdof, f)                # (nbody, nv)
     qfrc_bias = jnp.sum(mask * dots, axis=0)
