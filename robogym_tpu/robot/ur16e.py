@@ -22,9 +22,13 @@ from robogym_tpu.utils import rotation as rot
 JOINTS: List[str] = ["J1", "J2", "J3", "J4", "J5", "J6"]
 ACTUATORS: List[str] = [f"ur_actuator_{i}" for i in range(1, 7)]
 
-# (arm_interface.py:28-37): tabletop experiment initial configuration
-TABLETOP_EXPERIMENT_INITIAL_POS = np.array(
-    [0.42, -0.895, 1.32, -2.0, -1.56, 1.95]
+# (arm_interface.py:27): tabletop experiment initial configuration.
+# MUST match the reference exactly: other poses can start the arm inside
+# the backdrop panel (contype/conaffinity 1/1 collides with the arm), and
+# the ejection impulse leaves J6 outside its joint range — the round-3
+# joint-control regressions traced back to exactly that.
+TABLETOP_EXPERIMENT_INITIAL_POS = np.deg2rad(
+    np.array([135.0, -90.0, 135.0, -100.0, -240.0, 135.0])
 )
 
 # (arm_interface.py:43-46): |F_tcp| threshold for triggering safety stop
