@@ -184,6 +184,7 @@ class _Compiler:
         self.geoms: List[dict] = []
         self.sites: List[dict] = []
         self.cameras: List[dict] = []
+        self.lights: List[dict] = []
         self.tendons: List[dict] = []
         self.wraps: List[dict] = []
         self.actuators: List[dict] = []
@@ -327,7 +328,39 @@ class _Compiler:
             self.parse_joint(node, parent_id, childclass)
         elif node.tag == "camera":
             self.parse_camera(node, parent_id, childclass)
-        # light ignored (render/raycast.py uses fixed headlight shading)
+        elif node.tag == "light":
+            self.parse_light(node, parent_id, childclass)
+
+    def parse_light(self, node: et.Element, body_id: int, childclass):
+        """<light>: position/direction in the parent body frame.
+
+        Consumed by render/raycast.py's shading (directional or point
+        Lambertian term). Ambient/diffuse RGB are reduced to scalar
+        intensities — the raycaster shades monochromatically, matching the
+        reference's headlight-intensity randomization contract
+        (rearrange/simulation/base.py:774-788 set_lighting)."""
+        cls = node.get("class", childclass)
+        attrs = self.class_attrs("light", cls)
+        amb = _floats(node.get("ambient", attrs.get("ambient")), 3,
+                      default=[0.0, 0.0, 0.0])
+        dif = _floats(node.get("diffuse", attrs.get("diffuse")), 3,
+                      default=[0.7, 0.7, 0.7])
+        self.lights.append(
+            dict(
+                name=node.get("name", f"light{len(self.lights)}"),
+                body=body_id,
+                pos=_floats(node.get("pos", attrs.get("pos")), 3,
+                            default=[0, 0, 0]),
+                dir=_floats(node.get("dir", attrs.get("dir")), 3,
+                            default=[0, 0, -1]),
+                directional=(node.get("directional",
+                                      attrs.get("directional", "false"))
+                             == "true"),
+                ambient=float(np.mean(amb)),
+                diffuse=float(np.mean(dif)),
+                active=(node.get("active", "true") == "true"),
+            )
+        )
 
     def parse_body(self, node: et.Element, parent_id: int, childclass, depth: int):
         cls = node.get("childclass", childclass)
@@ -362,11 +395,14 @@ class _Compiler:
                     [[fi[0], fi[3], fi[4]], [fi[3], fi[1], fi[5]], [fi[4], fi[5], fi[2]]]
                 )
                 w, v = np.linalg.eigh(full)
-                # ensure right-handed
-                if np.linalg.det(v) < 0:
-                    v[:, 0] *= -1
                 binfo["inertia"] = w[::-1].copy()
                 vm = v[:, ::-1].copy()
+                # right-handedness must be enforced AFTER the column
+                # reversal (reversing 3 columns itself flips det; a
+                # reflection here made mat2quat emit a garbage frame that
+                # permuted principal axes on degenerate inertias)
+                if np.linalg.det(vm) < 0:
+                    vm[:, 2] *= -1
                 binfo["iquat"] = _np_quat_mul(binfo["iquat"], _np_mat2quat(vm))
 
         for child in node:
@@ -789,12 +825,14 @@ class _Compiler:
                 r = c - com
                 Itot += I + m * ((r @ r) * np.eye(3) - np.outer(r, r))
             w, v = np.linalg.eigh(Itot)
-            if np.linalg.det(v) < 0:
-                v[:, 0] *= -1
+            vm = v[:, ::-1].copy()
+            # enforce right-handedness AFTER column reversal (see above)
+            if np.linalg.det(vm) < 0:
+                vm[:, 2] *= -1
             bi["mass"] = mtot
             bi["ipos"] = com
             bi["inertia"] = np.maximum(w[::-1].copy(), 1e-12)
-            bi["iquat"] = _np_mat2quat(v[:, ::-1].copy())
+            bi["iquat"] = _np_mat2quat(vm)
 
         # ---- wrap/tendon tables
         nwrap = len(self.wraps)
@@ -955,6 +993,11 @@ class _Compiler:
             ) if self.joints else np.zeros(0, bool),
             ncam=len(self.cameras),
             cam_bodyid=np.array([c["body"] for c in self.cameras], np.int32),
+            nlight=len(self.lights),
+            light_bodyid=np.array([l["body"] for l in self.lights], np.int32),
+            light_directional=np.array(
+                [l["directional"] for l in self.lights], bool
+            ),
             names=dict(
                 body=name2body, joint=name2joint, geom=name2geom, site=name2site,
                 tendon=name2tendon, actuator=name2act, mesh=name2mesh,
@@ -972,6 +1015,12 @@ class _Compiler:
             viscosity=jnp.asarray(float(oa.get("viscosity", 0.0)), dtype),
             impratio=jnp.asarray(float(oa.get("impratio", 1.0)), dtype),
             iterations=int(oa.get("iterations", 30)),
+            # our CG solver's budget is distinct from MuJoCo's Newton
+            # `iterations`, but models that need tighter convergence than
+            # the tuned default can say so: the nonstandard attribute
+            # `cg_iterations` overrides directly
+            **({"cg_iterations": int(oa["cg_iterations"])}
+               if "cg_iterations" in oa else {}),
             cone=ConeType.PYRAMIDAL if oa.get("cone", "pyramidal") == "pyramidal" else ConeType.ELLIPTIC,
             integrator=IntegratorType.EULER,
         )
@@ -1061,6 +1110,13 @@ class _Compiler:
             cam_pos=jnp.asarray(asnp("pos", self.cameras, 3), dtype),
             cam_quat=jnp.asarray(asnp("quat", self.cameras, 4), dtype),
             cam_fovy=jnp.asarray(asnp("fovy", self.cameras), dtype),
+            light_pos=jnp.asarray(asnp("pos", self.lights, 3), dtype),
+            light_dir=jnp.asarray(asnp("dir", self.lights, 3), dtype),
+            light_ambient=jnp.asarray(asnp("ambient", self.lights), dtype),
+            light_diffuse=jnp.asarray(asnp("diffuse", self.lights), dtype),
+            light_active=jnp.asarray(asnp("active", self.lights), dtype),
+            headlight_diffuse=jnp.asarray(0.4, dtype),
+            headlight_ambient=jnp.asarray(0.1, dtype),
             tendon_range=jnp.asarray(asnp("range", T, 2), dtype),
             tendon_stiffness=jnp.asarray(asnp("stiffness", T), dtype),
             tendon_damping=jnp.asarray(asnp("damping", T), dtype),
@@ -1150,4 +1206,10 @@ def compile_xml(xml: "MjcfXML | str", dtype=jnp.float64) -> Model:
     comp.parse()
     model = comp.build(dtype=dtype)
     object.__setattr__(model.const, "_source_xml", xml.xml_string())
+    # warm the invweight0 cache (MuJoCo mj_setConst analogue) with CONCRETE
+    # arrays: constraint assembly reads it under jit, where the eager
+    # FK/mass-matrix evaluation it needs is impossible
+    from robogym_tpu.physics.setconst import invweight0
+
+    invweight0(model)
     return model

@@ -228,6 +228,9 @@ class ModelConst:
     # cameras (render/raycast.py)
     ncam: int = 0
     cam_bodyid: np.ndarray = None  # (ncam,)
+    nlight: int = 0
+    light_bodyid: np.ndarray = None       # (nlight,)
+    light_directional: np.ndarray = None  # (nlight,) bool
 
     # name tables (host-side lookups, analogue of mj_name2id)
     names: Dict[str, Dict[str, int]] = dataclasses.field(default_factory=dict)
@@ -401,6 +404,17 @@ class Model(_Replaceable):
     cam_pos: Optional[jax.Array] = None    # (ncam, 3) local to parent body
     cam_quat: Optional[jax.Array] = None   # (ncam, 4)
     cam_fovy: Optional[jax.Array] = None   # (ncam,) vertical fov, degrees
+
+    # lights (<light> elements) + the camera headlight — all traced so the
+    # vision DR path (randomization/vision.py, reference rearrange
+    # common/base.py:637-730) can jitter them per episode via model_fields
+    light_pos: Optional[jax.Array] = None      # (nlight, 3) parent frame
+    light_dir: Optional[jax.Array] = None      # (nlight, 3)
+    light_ambient: Optional[jax.Array] = None  # (nlight,) scalar intensity
+    light_diffuse: Optional[jax.Array] = None  # (nlight,)
+    light_active: Optional[jax.Array] = None   # (nlight,) 1.0 = on
+    headlight_diffuse: Optional[jax.Array] = None  # () scalar
+    headlight_ambient: Optional[jax.Array] = None  # () scalar
 
     # mesh convex-hull FACE planes for raycast rendering: a point x (mesh
     # local frame) is inside iff n.x + off <= 0 for all valid faces.
