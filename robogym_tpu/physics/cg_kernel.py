@@ -281,9 +281,11 @@ def _cg_full_kernel(iterations, with_euler, with_smooth, row_build,
                     M_ref, Minv_ref, qvel_ref, qs_ref, x0_ref,
                     *rest):
     """Like _cg_kernel, but additionally computes per-row aref
-    (-bref*J@qvel - kimp*pos), the regularizer D = active / (rcoef *
-    max(diag(J Minv J^T), 1e-12)), and the output qfrc = J^T f — so the only
-    XLA-side work per solve is building J and the (E, L) coefficient maps.
+    (-bref*J@qvel - kimp*pos), the regularizer D = active / rdiag (rcoef_ref
+    carries MuJoCo's full R = (1-imp)/imp * invweight0 diagApprox, computed
+    in XLA-land — see physics/setconst.py), and the output qfrc = J^T f — so
+    the only XLA-side work per solve is building J and the (E, L)
+    coefficient maps.
 
     with_euler fuses the implicit-damping semi-implicit Euler velocity
     update (physics/step.py::euler) into the same kernel: extra inputs
@@ -354,15 +356,10 @@ def _cg_full_kernel(iterations, with_euler, with_smooth, row_build,
         x0 = finite * qacc_prev + (1.0 - finite) * qs
         qs_out[:] = qs
 
-    # aref and regularizer
+    # aref and regularizer (rcoef already IS MuJoCo's R = (1-imp)/imp *
+    # invweight0-diagApprox; no in-kernel diag(J Minv J^T) pass)
     aref = -bref * mv_J(qvel) - kimp * pos
-    # A_diag[e] = sum_w (sum_v J[e,v] Minv[v,w]) J[e,w]
-    a_diag = jnp.zeros_like(pos)
-    for w in range(V):
-        s_w = jnp.sum(J * Minv[:, w, :][None, :, :], axis=1)   # (E, L)
-        a_diag = a_diag + s_w * J[:, w, :]
-    R = rcoef * jnp.maximum(a_diag, 1e-12)
-    D = act / R
+    D = act / jnp.maximum(rcoef, 1e-12)
     Deq = D * eqm
     Done = D * onem
     Dfr = D * frm
@@ -444,8 +441,13 @@ def _build_full_call(iterations: int, nv: int, nefc: int,
     # failing to compile. Rough footprint: J + ~6 facet temps + 4 (V,V)
     # mats + ~12 (E,) maps, in f32.
     S_rb = row_build[1] if row_build else 0
-    est = (nefc * nv + 9 * S_rb * nv + 4 * nv * nv + 14 * nefc) * 4
-    lane = LANE if est * LANE <= 70 * 1024 * 1024 else LANE // 2
+    # include the Euler M/Minv blocks when the fused integrator is on
+    n_mats = 6 if with_euler else 4
+    est = (nefc * nv + 9 * S_rb * nv + n_mats * nv * nv + 14 * nefc) * 4
+    # halve until the estimated footprint fits the scoped-VMEM budget
+    lane = LANE
+    while lane > 32 and est * lane > 70 * 1024 * 1024:
+        lane //= 2
 
     def spec3(d0, d1):
         return pl.BlockSpec((d0, d1, lane), lambda i: (0, 0, i),

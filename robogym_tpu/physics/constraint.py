@@ -62,11 +62,16 @@ def _impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
     return d0 + y * (dmax - d0)
 
 
-def _ref_kb(solref: jax.Array, imp: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Stiffness/damping accelerations from solref (standard or direct)."""
+def _ref_kb(solref: jax.Array, solimp: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Stiffness/damping accelerations from solref (standard or direct).
+
+    MuJoCo mj_makeRef uses the ROW's max impedance dmax = solimp[1] in the
+    K/B formulas (B = 2/(dmax*tc), K = 1/(dmax^2 tc^2 dr^2)) — a hardcoded
+    0.9999 here made every aref ~dmax/0.9999 of MuJoCo's (the residual hand
+    conformance gap: friction rows were off by exactly 0.95x)."""
     timeconst = solref[..., 0]
     dampratio = solref[..., 1]
-    dmax = 0.9999
+    dmax = jnp.clip(solimp[..., 1], 0.0001, 0.9999)
     standard = timeconst > 0
     b_std = 2.0 / jnp.maximum(dmax * timeconst, 1e-10)
     k_std = 1.0 / jnp.maximum(
@@ -99,13 +104,19 @@ def _rot_jac_batch(m: Model, d: Data, bodyids: jax.Array):
 
 def scalar_blocks(m: Model, d: Data):
     """Non-contact constraint rows: equality, dof friction, joint limits,
-    tendon limits. Returns (J, pos, solref, solimp, floss, active, kind_np)
-    with kind_np a STATIC numpy array."""
+    tendon limits. Returns (J, pos, solref, solimp, floss, active, kind_np,
+    diagA_np) with kind_np/diagA_np STATIC numpy arrays. diagA is MuJoCo's
+    mj_diagApprox drawn from the compile-time *_invweight0 constants
+    (physics/setconst.py), NOT the instantaneous diag(J M^-1 J^T)."""
+    from robogym_tpu.physics.setconst import invweight0
+
     c = m.const
     dtype = d.qpos.dtype
     nv = c.nv
+    dof_iw0, body_iw0, ten_iw0 = invweight0(m)
 
     J_rows: List[jax.Array] = []
+    diagA_rows: List[float] = []
     pos_rows: List[jax.Array] = []
     solref_rows: List[jax.Array] = []
     solimp_rows: List[jax.Array] = []
@@ -133,9 +144,11 @@ def scalar_blocks(m: Model, d: Data):
             for k in range(3):
                 J_rows.append((Jp2 - Jp1)[k])
                 pos_rows.append(pos_err[k])
+                diagA_rows.append(body_iw0[o1, 0] + body_iw0[o2, 0])
             for k in range(3):
                 J_rows.append((Jr2 - Jr1)[k])
                 pos_rows.append(rot_err[k])
+                diagA_rows.append(body_iw0[o1, 1] + body_iw0[o2, 1])
             for _ in range(6):
                 solref_rows.append(m.eq_solref[e])
                 solimp_rows.append(m.eq_solimp[e])
@@ -151,6 +164,7 @@ def scalar_blocks(m: Model, d: Data):
             for k in range(3):
                 J_rows.append((Jp1 - Jp2)[k])
                 pos_rows.append(pos_err[k])
+                diagA_rows.append(body_iw0[o1, 0] + body_iw0[o2, 0])
                 solref_rows.append(m.eq_solref[e])
                 solimp_rows.append(m.eq_solimp[e])
                 kind_rows.append(EQ)
@@ -172,9 +186,11 @@ def scalar_blocks(m: Model, d: Data):
                 )
                 pos_err = d.qpos[q1adr] - poly
                 J = jnp.zeros(nv, dtype).at[d1adr].set(1.0).at[d2adr].add(-dpoly)
+                diagA_rows.append(dof_iw0[d1adr] + dof_iw0[d2adr])
             else:
                 pos_err = d.qpos[q1adr] - data[0]
                 J = jnp.zeros(nv, dtype).at[d1adr].set(1.0)
+                diagA_rows.append(dof_iw0[d1adr])
             J_rows.append(J)
             pos_rows.append(pos_err)
             solref_rows.append(m.eq_solref[e])
@@ -185,12 +201,13 @@ def scalar_blocks(m: Model, d: Data):
 
     # equality rows assembled above arrive one-by-one; gather them as the
     # first block, then append vectorized blocks for friction/limits.
-    blocks = []  # (J, pos, solref, solimp, floss, active, kind_np)
+    blocks = []  # (J, pos, solref, solimp, floss, active, kind_np, diagA_np)
     if J_rows:
         blocks.append((
             jnp.stack(J_rows), jnp.stack(pos_rows), jnp.stack(solref_rows),
             jnp.stack(solimp_rows), jnp.stack(floss_rows),
             jnp.stack(active_rows), np.asarray(kind_rows, np.int32),
+            np.asarray(diagA_rows, np.float64),
         ))
 
     # ---- dof friction loss: one static one-hot block
@@ -206,6 +223,7 @@ def scalar_blocks(m: Model, d: Data):
             m.dof_frictionloss[fl_ids],
             jnp.ones(n, bool),
             np.full(n, FRICTION, np.int32),
+            dof_iw0[fl_ids],
         ))
 
     # ---- joint limits (vectorized over limited hinge/slide joints)
@@ -230,6 +248,7 @@ def scalar_blocks(m: Model, d: Data):
             jnp.zeros(n, dtype),
             dist < m.jnt_margin[jids],
             np.full(n, ONESIDED, np.int32),
+            dof_iw0[dadr],
         ))
 
     # ---- tendon limits (vectorized over limited tendons)
@@ -247,6 +266,7 @@ def scalar_blocks(m: Model, d: Data):
             jnp.zeros(len(lt), dtype),
             dist < m.tendon_margin[lt],
             np.full(len(lt), ONESIDED, np.int32),
+            ten_iw0[lt],
         ))
 
     n_scalar = sum(b[0].shape[0] for b in blocks)
@@ -258,6 +278,9 @@ def scalar_blocks(m: Model, d: Data):
         floss_scalar = jnp.concatenate([b[4] for b in blocks])
         active_scalar = jnp.concatenate([b[5] for b in blocks])
         kind_scalar = np.concatenate([b[6] for b in blocks])
+        diagA_scalar = np.concatenate(
+            [np.asarray(b[7], np.float64) for b in blocks]
+        )
     else:
         J_scalar = jnp.zeros((0, nv), dtype)
         pos_scalar = jnp.zeros((0,), dtype)
@@ -266,8 +289,9 @@ def scalar_blocks(m: Model, d: Data):
         floss_scalar = jnp.zeros((0,), dtype)
         active_scalar = jnp.zeros((0,), bool)
         kind_scalar = np.zeros(0, np.int32)
+        diagA_scalar = np.zeros(0, np.float64)
     return (J_scalar, pos_scalar, solref_scalar, solimp_scalar,
-            floss_scalar, active_scalar, kind_scalar)
+            floss_scalar, active_scalar, kind_scalar, diagA_scalar)
 
 
 def make_efc(m: Model, d: Data, Minv: jax.Array = None):
@@ -284,7 +308,9 @@ def make_efc(m: Model, d: Data, Minv: jax.Array = None):
     dtype = d.qpos.dtype
     nv = c.nv
     (J_scalar, pos_scalar, solref_scalar, solimp_scalar,
-     floss_scalar, active_scalar, kind_scalar) = scalar_blocks(m, d)
+     floss_scalar, active_scalar, kind_scalar, diagA_scalar) = (
+        scalar_blocks(m, d)
+    )
     n_scalar = J_scalar.shape[0]
 
     # ---- contacts: top-k ACTIVE slot selection, then one batched facet
@@ -393,17 +419,28 @@ def make_efc(m: Model, d: Data, Minv: jax.Array = None):
         contact_sel = None
 
     imp = _impedance(solimp, pos)
-    k_ref, b_ref = _ref_kb(solref, imp)
+    k_ref, b_ref = _ref_kb(solref, solimp)
     Jqvel = J @ d.qvel
     aref = -b_ref * Jqvel - k_ref * imp * pos
 
-    # regularization R = (1-d)/d * diag(J M^-1 J^T), D = 1/R
-    if Minv is None:
-        MinvJT = smooth.solve_m(d, J.T)        # (nv, nefc)
-    else:
-        MinvJT = Minv @ J.T
-    A_diag = jnp.maximum(jnp.einsum("iv,vi->i", J, MinvJT), 1e-12)
-    R = jnp.maximum((1.0 - imp) / imp, 1e-8) * A_diag
+    # regularization R = (1-d)/d * diagApprox, D = 1/R. diagApprox is the
+    # compile-time invweight0 approximation — MuJoCo mj_diagApprox semantics
+    # (see physics/setconst.py), verified row-by-row against efc_R.
+    from robogym_tpu.physics.setconst import invweight0
+
+    _, body_iw0, _ = invweight0(m)
+    diagA_list = [jnp.asarray(diagA_scalar, dtype)]
+    if contact_sel is not None:
+        bw_trn = jnp.asarray(body_iw0[:, 0], dtype)
+        # pyramidal contact diagApprox = 4/impratio * trn-invweight sum
+        # (factor verified against MuJoCo efc_R across mu/condim/impratio)
+        scale = 4.0 / jnp.maximum(m.opt.impratio, 1e-6)
+        iw_c = scale * (jnp.take(bw_trn, b1) + jnp.take(bw_trn, b2))
+        diagA_list.append(jnp.repeat(iw_c, nfacet))
+    diagA = jnp.concatenate(diagA_list)
+    R = jnp.maximum(
+        jnp.maximum((1.0 - imp) / imp, 1e-8) * diagA, 1e-12
+    )
     Dmat = jnp.where(active, 1.0 / R, 0.0)
 
     return dict(
@@ -562,7 +599,7 @@ def _post_gather_prelude(m: Model, d: Data):
     nfacet = {1: 1, 3: 4, 4: 6, 6: 10}[int(condims_np.max())]
     dtype = d.qpos.dtype
 
-    (J_s, pos_s, solref_s, solimp_s, floss_s, active_s, kind_s) = (
+    (J_s, pos_s, solref_s, solimp_s, floss_s, active_s, kind_s, diagA_s) = (
         scalar_blocks(m, d)
     )
 
@@ -609,10 +646,19 @@ def _post_gather_prelude(m: Model, d: Data):
     rootid = np.asarray(c.body_rootid)
     dofmask = jnp.asarray(c.body_dof_mask, dtype)
     rootcom = d.subtree_com[rootid]                      # static-index rows
+    # MuJoCo diagApprox for the selected contacts: 4*(trn invweight0 sum)
+    # (setconst.py; pyramidal factor verified against efc_R)
+    from robogym_tpu.physics.setconst import invweight0
+
+    _, body_iw0, _ = invweight0(m)
+    bw_trn = jnp.asarray(body_iw0[:, 0], dtype)
+    scale = 4.0 / jnp.maximum(m.opt.impratio, 1e-6)
+    iw_c = scale * (ohb1 @ bw_trn + ohb2 @ bw_trn)       # (S,)
     head = (
         J_s, pos_s, solref_s, solimp_s, floss_s, active_s.astype(dtype),
+        jnp.asarray(diagA_s, dtype),
         pos_c, frame_c, dist_c, margin_c,
-        fric_c, act_c, cd_sel,
+        fric_c, act_c, cd_sel, iw_c,
         ohb1 @ dofmask, ohb2 @ dofmask,
         ohb1 @ rootcom, ohb2 @ rootcom,
         solref_c, solimp_c,

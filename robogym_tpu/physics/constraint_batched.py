@@ -109,9 +109,12 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
         return rows, active
 
     def _row_maps(pos_s, solref_s, solimp_s, floss_s, active_s,
-                  dist_c, margin_c, solref_c, solimp_c, active_cf):
+                  diagA_s, dist_c, margin_c, solref_c, solimp_c, active_cf,
+                  iw_c):
         """All per-row coefficient maps, batch-major friendly shapes.
-        Returns pos, kimp, bref, rcoef, active, floss (each (..., E))."""
+        Returns pos, kimp, bref, rdiag, active, floss (each (..., E)).
+        rdiag = (1-imp)/imp * diagApprox is MuJoCo's full regularizer R
+        (mj_diagApprox invweight0 semantics, physics/setconst.py)."""
         F = nfacet
         pos_con = jnp.repeat(dist_c - margin_c, F, axis=-1)
         pos = jnp.concatenate([pos_s, pos_con], axis=-1)
@@ -130,13 +133,20 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
             axis=-1,
         )
         imp = cl._impedance(solimp, pos)
-        k_ref, b_ref = cl._ref_kb(solref, imp)
+        k_ref, b_ref = cl._ref_kb(solref, solimp)
         kimp = k_ref * imp
-        rcoef = jnp.maximum((1.0 - imp) / imp, 1e-8)
-        return pos, kimp, b_ref, rcoef, active, floss
+        diagA = jnp.concatenate(
+            [diagA_s, jnp.repeat(iw_c, F, axis=-1)], axis=-1
+        )
+        rdiag = jnp.maximum(
+            jnp.maximum((1.0 - imp) / imp, 1e-8) * diagA, 1e-12
+        )
+        return pos, kimp, b_ref, rdiag, active, floss
 
     def reference(J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
+                  diagA_s,
                   pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+                  iw_c,
                   mask1, mask2, rc1, rc2, solref_c, solimp_c,
                   cdof, qvel, qM, *tail):
         from robogym_tpu.physics import factor_kernel
@@ -158,15 +168,12 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
         S = pos_c.shape[0]
         nv = cdof.shape[0]
         J = jnp.concatenate([J_s, rows.reshape(S * nfacet, nv)])
-        pos, kimp, bref, rcoef, active, floss = _row_maps(
+        pos, kimp, bref, rdiag, active, floss = _row_maps(
             pos_s, solref_s, solimp_s, floss_s, active_s.astype(J.dtype),
-            dist_c, margin_c, solref_c, solimp_c, active_cf,
+            diagA_s, dist_c, margin_c, solref_c, solimp_c, active_cf, iw_c,
         )
         aref = -bref * (J @ qvel) - kimp * pos
-        MinvJT = Minv @ J.T
-        A_diag = jnp.maximum(jnp.einsum("iv,vi->i", J, MinvJT), 1e-12)
-        R = rcoef * A_diag
-        D = jnp.where(active > 0, 1.0 / R, 0.0)
+        D = jnp.where(active > 0, 1.0 / rdiag, 0.0)
 
         kind_full = np.concatenate(
             [kind_s, np.full(S * nfacet, cl.ONESIDED, np.int32)]
@@ -193,12 +200,14 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
 
     @custom_batching.custom_vmap
     def solve(J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
+              diagA_s,
               pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+              iw_c,
               mask1, mask2, rc1, rc2, solref_c, solimp_c,
               cdof, qvel, qM, *tail):
         return reference(
-            J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
-            pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+            J_s, pos_s, solref_s, solimp_s, floss_s, active_s, diagA_s,
+            pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel, iw_c,
             mask1, mask2, rc1, rc2, solref_c, solimp_c,
             cdof, qvel, qM, *tail,
         )
@@ -206,7 +215,9 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
     @solve.def_vmap
     def _rule(axis_size, in_batched,
               J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
+              diagA_s,
               pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+              iw_c,
               mask1, mask2, rc1, rc2, solref_c, solimp_c,
               cdof, qvel, qM, *tail):
         import os
@@ -231,14 +242,16 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
                 return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
             args = [
-                J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
+                J_s, pos_s, solref_s, solimp_s, floss_s, active_s, diagA_s,
                 pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+                iw_c,
                 mask1, mask2, rc1, rc2, solref_c, solimp_c,
                 cdof, qvel, qM, *tail,
             ]
             args = [bc(a, b) for a, b in zip(args, in_batched)]
-            (J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
+            (J_s, pos_s, solref_s, solimp_s, floss_s, active_s, diagA_s,
              pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+             iw_c,
              mask1, mask2, rc1, rc2, solref_c, solimp_c,
              cdof, qvel, qM, *tail) = args
         if not use_pallas:
@@ -247,8 +260,9 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
                 in_axes=tuple(0 if b else None for b in in_batched),
             )
             out = mapped(
-                J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
+                J_s, pos_s, solref_s, solimp_s, floss_s, active_s, diagA_s,
                 pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+                iw_c,
                 mask1, mask2, rc1, rc2, solref_c, solimp_c,
                 cdof, qvel, qM, *tail,
             )
@@ -287,9 +301,9 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
         ok = ok | (jnp.arange(F)[None, None, :] == 0)
         active_cf = act_c[:, :, None] & ok                # (B, S, F)
 
-        pos, kimp, bref, rcoef, active, floss = _row_maps(
+        pos, kimp, bref, rdiag, active, floss = _row_maps(
             pos_s, solref_s, solimp_s, floss_s, active_s.astype(dt),
-            dist_c, margin_c, solref_c, solimp_c, active_cf,
+            diagA_s, dist_c, margin_c, solref_c, solimp_c, active_cf, iw_c,
         )
 
         M_t = t(qM)
@@ -307,7 +321,7 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
             Minv_b, qs_b, x0_b = tail
             Minv_t, qs_t, x0_t = t(Minv_b), t(qs_b), t(x0_b)
         inputs = dict(
-            pos=t(pos), kimp=t(kimp), bref=t(bref), rcoef=t(rcoef),
+            pos=t(pos), kimp=t(kimp), bref=t(bref), rcoef=t(rdiag),
             active=t(active), floss=t(floss),
             M=M_t, Minv=Minv_t, qvel=t(qvel), qs=qs_t, x0=x0_t,
             **row_bundle,

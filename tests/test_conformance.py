@@ -245,9 +245,11 @@ def test_shadow_hand_smooth_conformance():
         theirs.append(mj_data.qpos.copy())
     ours = np.stack(ours)
     theirs = np.stack(theirs)
-    # tendon-coupled 24-dof passive trajectories. Measured divergence
-    # profile (limit/friction-loss solver details differ slightly from
-    # MuJoCo 3): ~1.6e-4 rad @ substep 1, ~4e-4 @ 25, ~2.5e-3 max @ 100.
+    # tendon-coupled 24-dof passive trajectories. After the round-4
+    # constraint-semantics fixes (solimp-dmax in mj_makeRef K/B, invweight0
+    # diagApprox regularizers, inertia-frame handedness) the measured
+    # 1-substep divergence is ~7e-8 rad; the 100-substep budget below is
+    # 100x the VERDICT target of 1e-4.
     err = np.abs(ours - theirs).max(axis=(1,))
-    assert err[24] < 1e-3, f"early divergence {err[24]:.2e}"
-    np.testing.assert_allclose(ours, theirs, atol=5e-3)
+    assert err[24] < 1e-5, f"early divergence {err[24]:.2e}"
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
