@@ -83,6 +83,8 @@ class EnvState:
     key: jax.Array               # PRNG key
     t: jax.Array                 # i32 env step count
     model_fields: Any = None     # dict: Model field name -> overridden array
+    robot_aux: Any = None        # per-episode robot controller state
+                                 # (e.g. gripper RegraspState)
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -49,6 +49,15 @@ class LockedEnvConstants(cube_env.DactylCubeEnvConstants):
     # analogue of the locked real-image vision configs)
     vision_observation_provider: str = ""
     vision_image_size: int = 200
+    # vision DR for the raycast path (same sampler as rearrange,
+    # randomization/vision.py; the reference randomizes ORRB cameras/lights
+    # equivalently for the dactyl vision configs)
+    camera_fovy_radius: float = 0.0
+    camera_pos_radius: float = 0.0
+    camera_quat_radius: float = 0.0
+    light_pos_range: float = 0.0
+    light_diffuse_intensity: float = 0.4
+    light_ambient_intensity: float = 0.1
 
 
 class LockedEnv(cube_env.CubeEnvBase):
@@ -128,7 +137,8 @@ class LockedEnv(cube_env.CubeEnvBase):
     # goal generation (LockedParallelGoal)
     # ------------------------------------------------------------------
 
-    def _next_goal(self, key: jax.Array, d: Data) -> Dict[str, jax.Array]:
+    def _next_goal(self, key: jax.Array, d: Data,
+                   prev_goal=None) -> Dict[str, jax.Array]:
         goal_quat = cube_env.sample_parallel_goal_quat(key, self.dtype)
         return {"cube_quat": goal_quat}
 
@@ -144,10 +154,28 @@ class LockedEnv(cube_env.CubeEnvBase):
     # env API
     # ------------------------------------------------------------------
 
+    def _sample_vision_fields(self, key: jax.Array):
+        """Per-episode camera/light jitter as model_fields (vision DR)."""
+        cst = self.constants
+        from robogym_tpu.randomization import vision as vision_rand
+
+        p = vision_rand.VisionRandomizationParams(
+            camera_fovy_radius=cst.camera_fovy_radius,
+            camera_pos_radius=cst.camera_pos_radius,
+            camera_quat_radius=cst.camera_quat_radius,
+            light_pos_range=cst.light_pos_range,
+            light_diffuse_intensity=cst.light_diffuse_intensity,
+            light_ambient_intensity=cst.light_ambient_intensity,
+        )
+        if not (self.constants.vision_observation_provider
+                and p.any_active()):
+            return None
+        return vision_rand.sample_vision_fields(key, self.model, p)
+
     def reset(self, key: jax.Array) -> Tuple[core.EnvState, Dict[str, jax.Array]]:
-        k_phys, k_goal, k_pause, k_state = jax.random.split(key, 4)
+        k_phys, k_goal, k_pause, k_state, k_vis = jax.random.split(key, 5)
         d = self.reset_physics(k_phys)
-        goal = self._next_goal(k_goal, d)
+        goal = self._next_goal(k_goal, d, prev_goal=None)
         tracker = core.TrackerState.zero().replace(
             success_steps_required=core.sample_success_steps_required(
                 k_pause, self.constants
@@ -162,6 +190,7 @@ class LockedEnv(cube_env.CubeEnvBase):
             tracker=tracker,
             key=k_state,
             t=jnp.zeros((), jnp.int32),
+            model_fields=self._sample_vision_fields(k_vis),
         )
         if self.obs_stack is not None:
             # RESET cadence: every provider runs; the cache rides in state
@@ -208,7 +237,7 @@ class LockedEnv(cube_env.CubeEnvBase):
         key, k_goal, k_pause = jax.random.split(state.key, 3)
 
         def resample(_):
-            goal = self._next_goal(k_goal, d)
+            goal = self._next_goal(k_goal, d, prev_goal=state.goal)
             req = core.sample_success_steps_required(k_pause, cst)
             return goal, req
 

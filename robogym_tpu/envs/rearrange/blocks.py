@@ -28,9 +28,11 @@ import numpy as np
 from robogym_tpu.envs import core
 from robogym_tpu.envs.rearrange import goals as goals_lib
 from robogym_tpu.envs.rearrange import simulation as sim_lib
+from robogym_tpu.mjcf.compiler import compile_xml
 from robogym_tpu.mjcf.model import Data, make_data
 from robogym_tpu.physics import step as physics
 from robogym_tpu.robot import composite as composite_lib
+from robogym_tpu.randomization import vision as vision_rand
 from robogym_tpu.robot import gripper as gripper_lib
 from robogym_tpu.robot import tcp_solver
 from robogym_tpu.robot import ur16e as arm_lib
@@ -84,6 +86,14 @@ class RearrangeSimParameters:
     penalty_objects_off_table: float = 0.0
     penalty_wrist_collision: float = 0.0
     penalty_safety_stop: float = 0.0
+    # vision DR (simulation/base.py:115-128; applied per reset as
+    # model_fields, randomization/vision.py)
+    camera_fovy_radius: float = 0.0
+    camera_pos_radius: float = 0.0
+    camera_quat_radius: float = 0.0
+    light_pos_range: float = 0.0
+    light_diffuse_intensity: float = 0.4
+    light_ambient_intensity: float = 0.1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,6 +204,32 @@ class BlocksRearrangeEnv:
             self.goal_gen = goal_cls(idx, self.robot.arm, gargs, **goal_kw)
         else:
             self.goal_gen = goal_cls(idx, gargs, **goal_kw)
+
+        # goal stabilization runs in an objects-only scratch world: under
+        # vmap the resample lax.cond lowers to select, so the settle
+        # executes every step — shrinking its model (no arm dofs/pairs/
+        # actuation) shrinks that standing cost ~10x. Mesh envs swap hull
+        # banks per episode via model_fields, which a separately compiled
+        # scratch world cannot see — they keep the full-model settle.
+        self._settle_model = None
+        self._settle_idx = None
+        if self.goal_gen.args.stabilize_goal:
+            from robogym_tpu.mjcf.model import GeomType
+
+            obj_types = np.asarray(model.const.geom_type)[
+                np.asarray(idx.object_geom_ids)
+            ]
+            if not np.any(obj_types == GeomType.MESH):
+                sx = sim_lib.build_settle_world_xml(
+                    model.const._source_xml
+                )
+                self._settle_model = compile_xml(sx, dtype=dtype)
+                self._settle_idx = sim_lib.RearrangeIndex.build(
+                    self._settle_model, sp.max_num_objects
+                )
+                self._settle_data = make_data(
+                    self._settle_model, dtype=dtype
+                )
 
         # settled initial data: arm to tabletop pose, objects parked
         d0 = make_data(model, dtype=dtype)
@@ -313,13 +349,26 @@ class BlocksRearrangeEnv:
         """Subclass hook for per-episode Model randomization (the TPU
         replacement for sim recreation, e.g. mesh-candidate selection in
         mesh.py). Returns (model_fields-or-None, object half sizes)."""
-        k_grp, k_mat = jax.random.split(key)
+        k_grp, k_mat, k_vis = jax.random.split(key, 3)
         group_ids, colors = self._sample_object_groups(k_grp)
         fields = {
             "geom_rgba": self.model.geom_rgba.at[
                 jnp.asarray(self.idx.object_geom_ids)
             ].set(colors)
         }
+        sp = self.parameters.simulation_params
+        vis_p = vision_rand.VisionRandomizationParams(
+            camera_fovy_radius=sp.camera_fovy_radius,
+            camera_pos_radius=sp.camera_pos_radius,
+            camera_quat_radius=sp.camera_quat_radius,
+            light_pos_range=sp.light_pos_range,
+            light_diffuse_intensity=sp.light_diffuse_intensity,
+            light_ambient_intensity=sp.light_ambient_intensity,
+        )
+        if vis_p.any_active():
+            fields.update(
+                vision_rand.sample_vision_fields(k_vis, self.model, vis_p)
+            )
         if self._material_table is not None:
             # one material per GROUP (base.py:568-585), gathered per object
             tbl = self._material_table
@@ -384,8 +433,19 @@ class BlocksRearrangeEnv:
             key=k_state,
             t=jnp.zeros((), jnp.int32),
             model_fields=model_fields,
+            robot_aux=self._initial_regrasp(d),
         )
         return state, self._observe(state)
+
+    def _initial_regrasp(self, d):
+        """Fresh gripper regrasp state when enabled
+        (mujoco_robotiq_gripper.py:62-68 builds RegraspHelper at reset)."""
+        if not self.parameters.robot_control_params.enable_gripper_regrasp:
+            return None
+        g = self.robot.gripper
+        return gripper_lib.init_regrasp(
+            d.qpos[g.joint_qpos_id], d.ctrl[g.actuator_id]
+        )
 
     def step(
         self, state: core.EnvState, action: jax.Array
@@ -471,6 +531,17 @@ class BlocksRearrangeEnv:
             ctrl = composite_lib.set_position_control_joint(
                 self.robot, m, d, action, relative_action=cst.relative_action
             )
+        robot_aux = state.robot_aux
+        if robot_aux is not None and cst.relative_action:
+            # gripper regrasp override (mujoco_robotiq_gripper.py:142-172):
+            # the denormalized gripper target already in `ctrl` is the
+            # reference's `default_control`
+            g = self.robot.gripper
+            out, robot_aux = gripper_lib.compute_regrasp_control(
+                robot_aux, action[-1], ctrl[g.actuator_id],
+                d.qpos[g.joint_qpos_id],
+            )
+            ctrl = ctrl.at[g.actuator_id].set(out)
         d = d.replace(ctrl=ctrl)
         d = physics.step_n(m, d, cst.mujoco_substeps)
         d, crashed = core.divergence_guard(state.physics, d)
@@ -552,6 +623,7 @@ class BlocksRearrangeEnv:
             goal_aux=solver_d if self._mocap_ik else state.goal_aux,
             prev_goal_distance=dist_after, tracker=tracker, key=key,
             t=state.t + 1, model_fields=state.model_fields,
+            robot_aux=robot_aux,
         )
         reward = jnp.stack([
             env_reward,
@@ -576,15 +648,28 @@ class BlocksRearrangeEnv:
         objects to the sampled goal in a SCRATCH Data, run settle steps, and
         read the rested poses back as the goal. Enabled by
         goal_args.stabilize_goal (reference default: composer only —
-        composer.py:25). NOTE: under vmap the goal-resample lax.cond lowers
-        to select, so an enabled flag pays the settle every env step."""
+        composer.py:25).
+
+        Under vmap the goal-resample lax.cond lowers to select, so the
+        settle executes every env step; to keep that standing cost small
+        the settle runs in the objects-only scratch world compiled in
+        __init__ (no arm dofs / collision pairs / actuators) whenever the
+        objects are primitives. Mesh envs fall back to the full model."""
+        n_sub = self.constants.stabilize_steps * self.constants.mujoco_substeps
+        if self._settle_model is not None:
+            sm, sidx = self._settle_model, self._settle_idx
+            dg = sim_lib.set_object_poses(
+                sidx, self._settle_data, goal["obj_pos"], goal["obj_rot"]
+            )
+            dg = physics.step_n(sm, dg, n_sub)
+            goal = dict(goal)
+            goal["obj_pos"] = sim_lib.object_positions(sidx, dg)
+            goal["obj_rot"] = sim_lib.object_quats(sidx, dg)
+            return goal
         dg = sim_lib.set_object_poses(
             self.idx, d, goal["obj_pos"], goal["obj_rot"]
         )
-        dg = physics.step_n(
-            m, dg,
-            self.constants.stabilize_steps * self.constants.mujoco_substeps,
-        )
+        dg = physics.step_n(m, dg, n_sub)
         goal = dict(goal)
         goal["obj_pos"] = sim_lib.object_positions(self.idx, dg)
         goal["obj_rot"] = sim_lib.object_quats(self.idx, dg)

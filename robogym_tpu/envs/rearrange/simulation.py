@@ -443,3 +443,42 @@ def scale_contact_budgets(model: Model, n_objects: int,
     return model.replace(
         opt=model.opt.replace(ncon_active=ncon, group_cap=cap)
     )
+
+
+def build_settle_world_xml(world_xml_string: str) -> MjcfXML:
+    """Objects-only copy of a composed rearrange world for goal
+    stabilization: strips the robot (every `robot0:`-prefixed body, the
+    mocap target, actuators/tendons/equalities/sensors) and keeps the
+    floor/table/object geometry.
+
+    The reference stabilizes goals by stepping the FULL sim on the host
+    only when a goal is (re)sampled (goals/object_state.py:292-330 +
+    common/utils.py:76-92). Under vmap the resample `lax.cond` lowers to a
+    select that pays the settle EVERY step, so the TPU build instead makes
+    the settle world small: objects falling onto the table involve no arm
+    dofs, no arm collision pairs and no actuation, which is exactly what
+    this reduced model contains.
+    """
+    import xml.etree.ElementTree as et
+
+    root = et.fromstring(world_xml_string)
+
+    def is_robot_body(el) -> bool:
+        name = el.get("name", "")
+        return (
+            name.startswith("robot0:") or name == "backdrop"
+            or el.get("mocap", "false") == "true"
+        )
+
+    def scrub(parent):
+        for child in list(parent):
+            if child.tag in ("actuator", "tendon", "equality", "sensor",
+                             "contact"):
+                parent.remove(child)
+            elif child.tag == "body" and is_robot_body(child):
+                parent.remove(child)
+            else:
+                scrub(child)
+
+    scrub(root)
+    return MjcfXML.from_string(et.tostring(root, encoding="unicode"))

@@ -310,11 +310,39 @@ def render_rgb_pose(m: Model, d: Data, cpos, cmat, fovy,
         rgb_best = jnp.where(take[:, None], rgb_g, rgb_best)
         n_best = jnp.where(take[:, None], n_w, n_best)
 
-    # shading: camera headlight + sky light + ambient
+    # shading: camera headlight + the model's <light> elements (Lambertian;
+    # light pose/intensity are traced Model fields so the vision-DR path can
+    # randomize them per episode — reference rearrange/common/base.py:680-730
+    # + simulation/base.py:774-788 set_lighting)
     n_best = n_best / (jnp.linalg.norm(n_best, axis=-1, keepdims=True) + 1e-12)
     head = jnp.maximum(-jnp.sum(n_best * rays, axis=-1), 0.0)
-    sky = jnp.maximum(n_best[:, 2], 0.0)
-    shade = jnp.clip(0.35 + 0.45 * head + 0.25 * sky, 0.0, 1.0)
+    if c.nlight:
+        hit = cpos[None, :] + jnp.minimum(t_best, BIG)[:, None] * rays
+        diffuse = jnp.zeros_like(head)
+        ambient = jnp.zeros((), dtype)
+        for i in range(c.nlight):
+            b = int(c.light_bodyid[i])
+            lpos = d.xpos[b] + d.xmat[b] @ m.light_pos[i]
+            ldir = d.xmat[b] @ m.light_dir[i]
+            ldir = ldir / (jnp.linalg.norm(ldir) + 1e-12)
+            if bool(c.light_directional[i]):
+                lam = jnp.maximum(-jnp.sum(n_best * ldir[None, :], -1), 0.0)
+            else:
+                to_l = lpos[None, :] - hit
+                to_l = to_l / (
+                    jnp.linalg.norm(to_l, axis=-1, keepdims=True) + 1e-12
+                )
+                lam = jnp.maximum(jnp.sum(n_best * to_l, -1), 0.0)
+            diffuse = diffuse + m.light_active[i] * m.light_diffuse[i] * lam
+            ambient = ambient + m.light_active[i] * m.light_ambient[i]
+        shade = jnp.clip(
+            m.headlight_ambient + ambient + m.headlight_diffuse * head
+            + diffuse, 0.0, 1.0,
+        )
+    else:
+        # no lights compiled in: fixed headlight + sky + ambient
+        sky = jnp.maximum(n_best[:, 2], 0.0)
+        shade = jnp.clip(0.35 + 0.45 * head + 0.25 * sky, 0.0, 1.0)
     img = rgb_best * shade[:, None]
 
     # background: vertical gradient keyed on world ray z

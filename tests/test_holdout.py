@@ -93,3 +93,35 @@ def test_second_holdout_family():
         state, jnp.zeros(env.action_size)
     )
     assert bool(jnp.isfinite(state.physics.qpos).all())
+
+
+ALL_CONFIGS = sorted(
+    p[len(CONFIG_DIR) + 1:]
+    for p in glob.glob(f"{CONFIG_DIR}/**/*.jsonnet", recursive=True)
+)
+
+
+@pytest.mark.parametrize("cfg", ALL_CONFIGS)
+def test_holdout_catalog_constructs_steps_and_is_stable(cfg):
+    """The FULL shipped catalog: every holdout config must construct, reset
+    from its saved initial state, survive 3 zero-action steps, and (when an
+    initial state exists) stay within the reference stability tier's 0.01 m
+    bar (test_stability.py:215-260). Composed scenes (rainbow/lego/chess/
+    tangram/bin_packing/physics_tests) exercise the MJCF-subset compiler on
+    every object family the catalog uses."""
+    env = load_env(f"{CONFIG_DIR}/{cfg}", **FAST)
+    assert env.num_objects >= 1
+    state, obs = jax.jit(env.reset)(jax.random.key(0))
+    assert bool(jnp.isfinite(state.physics.qpos).all()), "reset not finite"
+    step = jax.jit(env.step)
+    for _ in range(3):
+        state, obs, reward, done, info = step(
+            state, jnp.zeros(env.action_size)
+        )
+    assert bool(jnp.isfinite(state.physics.qpos).all()), "step not finite"
+    if env._initial_state is not None:
+        drift = np.abs(
+            np.asarray(obs["obj_pos"])[: env.num_objects]
+            - env._initial_state["obj_pos"][: env.num_objects]
+        ).max()
+        assert drift < 0.01, f"{cfg}: objects drifted {drift:.4f} m"

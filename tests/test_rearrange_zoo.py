@@ -106,9 +106,39 @@ def test_rearrange_flavor_smoke_round2(flavor):
     env = mod.make_env(dict(SMALL_CST), par)
     state, obs = jax.jit(env.reset)(jax.random.key(0))
     step = jax.jit(env.step)
-    state, obs, reward, done, info = step(state, jnp.zeros(env.action_size))
+    for _ in range(3):
+        state, obs, reward, done, info = step(
+            state, jnp.zeros(env.action_size)
+        )
     assert bool(jnp.isfinite(state.physics.qpos).all()), flavor
     assert np.isfinite(np.asarray(reward)).all()
+
+
+@pytest.mark.parametrize("flavor", ["blocks_stack", "ycb"])
+def test_flavor_smoke_default_control_mode(flavor):
+    """Zoo flavors in the TRUE default control config — mocap_ik dual-sim
+    TCP control with the force limiter, i.e. RobotControlParameters()
+    untouched (only substeps/object counts are shrunk for wall-time)."""
+    mod = importlib.import_module(f"robogym_tpu.envs.rearrange.{flavor}")
+    kwargs = {}
+    if flavor == "ycb":
+        kwargs["mesh_names"] = ["005_tomato_soup_can", "011_banana"]
+    env = mod.make_env(
+        dict(SMALL_CST),
+        dict(simulation_params=dict(num_objects=2, max_num_objects=2)),
+        **kwargs,
+    )
+    rcp = env.parameters.robot_control_params
+    assert rcp.tcp_solver_mode == "mocap_ik" and rcp.use_force_limiter
+    state, obs = jax.jit(env.reset)(jax.random.key(0))
+    step = jax.jit(env.step)
+    for _ in range(2):
+        state, obs, reward, done, info = step(
+            state, 0.1 * jnp.ones(env.action_size)
+        )
+    assert bool(jnp.isfinite(state.physics.qpos).all()), flavor
+    for k, v in obs.items():
+        assert np.isfinite(np.asarray(v, np.float64)).all(), (flavor, k)
 
 
 def test_mixture_dataset_sampling():
