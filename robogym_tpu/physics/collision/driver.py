@@ -590,7 +590,12 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
             # gather). A static index ramp breaks exact ties toward the
             # lower index — the same order lax.top_k produces.
             V = vd.shape[-1]
-            ramp = jax.lax.iota(jnp.int32, V).astype(vd.dtype) * 1e-7
+            # depth-RELATIVE tie-break ramp: an absolute 1e-7 is absorbed
+            # by f32 rounding once |vd| ~ 1, letting exact ties survive; a
+            # surviving tie would average two verts into one pick and burn
+            # both in a single extraction round, dropping a manifold point
+            scale = jnp.maximum(jnp.max(jnp.abs(vd)), 1.0) * 1e-6
+            ramp = jax.lax.iota(jnp.int32, V).astype(vd.dtype) * scale
             sel_vd = vd + ramp[None, :]
             dists, picks = [], []
             for _ in range(4):

@@ -225,6 +225,10 @@ def box_box(xp1, xm1, s1, xp2, xm2, s2):
     w = w / jnp.maximum(jnp.sum(w), 1.0)
     sat_depth = jnp.sum(depths * w)                # min overlap (can be <0)
     n = jnp.sum(axes * w[:, None], axis=0)
+    # exact ties can survive the ramp at large depth magnitudes (f32
+    # rounding absorbs the 1e-7); renormalize so an averaged pair of SAT
+    # axes still yields a unit normal
+    n = n / jnp.maximum(jnp.linalg.norm(n), 1e-12)
     n = jnp.where(jnp.dot(n, t) < 0, -n, n)        # point from box1 to box2
 
     # --- manifold candidates: corners of box2 measured against box1 and
