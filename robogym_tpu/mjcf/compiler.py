@@ -20,6 +20,7 @@ import copy
 import os
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import xml.etree.ElementTree as et
@@ -1204,12 +1205,19 @@ def compile_xml(xml: "MjcfXML | str", dtype=jnp.float64) -> Model:
         xml = MjcfXML.from_string(xml)
     comp = _Compiler(copy.deepcopy(xml.root_element))
     comp.parse()
-    model = comp.build(dtype=dtype)
-    object.__setattr__(model.const, "_source_xml", xml.xml_string())
-    # warm the invweight0 cache (MuJoCo mj_setConst analogue) with CONCRETE
-    # arrays: constraint assembly reads it under jit, where the eager
-    # FK/mass-matrix evaluation it needs is impossible
-    from robogym_tpu.physics.setconst import invweight0
+    # Build the Model ON CPU: compilation and the eager mj_setConst math
+    # below are episodic host work over tiny arrays. Under a remote-TPU
+    # default device every eager op pays a device round trip (measured
+    # 380 s for the locked world through the axon tunnel; ~2 s on CPU).
+    # jit'ted step functions close over the Model, so XLA moves the
+    # constants to the accelerator once at compile time.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        model = comp.build(dtype=dtype)
+        object.__setattr__(model.const, "_source_xml", xml.xml_string())
+        # warm the invweight0 cache (MuJoCo mj_setConst analogue) with
+        # CONCRETE arrays: constraint assembly reads it under jit, where
+        # the eager FK/mass-matrix evaluation it needs is impossible
+        from robogym_tpu.physics.setconst import invweight0
 
-    invweight0(model)
+        invweight0(model)
     return model

@@ -32,6 +32,15 @@ from robogym_tpu.mjcf.model import Data, Model, make_data
 def compute_invweight0(m: Model):
     """(dof_invweight0 (nv,), body_invweight0 (nbody, 2),
     tendon_invweight0 (ntendon,)) at qpos0, as numpy."""
+    # This is episodic host-side setup math over tiny arrays. Pin it to the
+    # CPU backend: under a remote-TPU default device the eager op-by-op
+    # dispatch below pays a device round trip PER OP (measured 380 s for
+    # the locked world through the axon tunnel; <2 s on CPU).
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        return _compute_invweight0_cpu(m)
+
+
+def _compute_invweight0_cpu(m: Model):
     from robogym_tpu.physics import smooth
 
     c = m.const
@@ -41,6 +50,7 @@ def compute_invweight0(m: Model):
 
     # model dtype (f64 under x64-enabled test runs, f32 on device-only
     # runs); the host-side inverse below is always f64
+    m = jax.device_put(m)
     d = make_data(m)
     d = d.replace(qpos=m.qpos0)
     # smooth position stage only (no collision / factor kernels)
