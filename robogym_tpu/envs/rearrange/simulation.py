@@ -342,7 +342,7 @@ def contact_wrench_on_geoms(
     in2 = jnp.isin(con.geom2, ids)
     sign = jnp.where(in2, 1.0, 0.0) - jnp.where(in1, 1.0, 0.0)
     f = d.efc_force_contact * sign * con.active
-    Fvec = f[:, None] * con.frame[:, 0]                     # (ncon, 3)
+    Fvec = f[:, None] * con.normal                          # (ncon, 3)
     F = Fvec.sum(axis=0)
     T = jnp.cross(con.pos - ref_point[None, :], Fvec).sum(axis=0)
     return F, T

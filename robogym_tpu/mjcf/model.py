@@ -445,15 +445,22 @@ class Model(_Replaceable):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Contact(_Replaceable):
-    """Batched fixed-size contact set produced by the collision pipeline."""
+    """Batched fixed-size contact set produced by the collision pipeline.
+
+    Solver parameters (solref/solimp/friction) are stored per broadphase
+    WINNER row in `wtab`, not per slot: a winner emits `ncon`-per-pair
+    slots that all share its parameters, and materializing the 12 repeated
+    columns per slot per substep was pure HBM traffic (the slot:winner
+    ratio is ~5x on the dactyl worlds). The static slot->winner map lives
+    in `collision.driver.slot_winner_rows(const, group_cap)`; per-slot
+    expansions for diagnostics go through
+    `collision.driver.contact_full_params` / `contact_frame`."""
 
     dist: jax.Array        # (ncon,)
     pos: jax.Array         # (ncon, 3)
-    frame: jax.Array       # (ncon, 3, 3) rows: normal, tan1, tan2
+    normal: jax.Array      # (ncon, 3) frame row 0; tangents are derived
+    #                        deterministically from it (driver._orthogonal)
     includemargin: jax.Array  # (ncon,)
-    friction: jax.Array    # (ncon, 5)
-    solref: jax.Array      # (ncon, 2)
-    solimp: jax.Array      # (ncon, 5)
     geom1: jax.Array       # (ncon,) int32 (static pair table, same for all envs)
     geom2: jax.Array       # (ncon,)
     active: jax.Array      # (ncon,) bool — dist < includemargin
@@ -461,6 +468,7 @@ class Contact(_Replaceable):
     body1: jax.Array       # (ncon,) int32 geom_bodyid[geom1] (emitted by the
     body2: jax.Array       # (ncon,) int32  driver so the constraint prelude
     #                        needs no per-env body-id gather)
+    wtab: jax.Array        # (W, 12) per-winner [solref(2) solimp(5) fric5(5)]
 
 
 @jax.tree_util.register_dataclass
@@ -535,8 +543,10 @@ def make_data(model: Model, dtype=jnp.float32, qpos0: Optional[np.ndarray] = Non
         from robogym_tpu.physics.collision import driver as _driver
 
         ncon = _driver.n_contact_slots(c, model.opt.group_cap)
+        nwin = _driver.n_winner_rows(c, model.opt.group_cap)
     else:
         ncon = 0
+        nwin = 0
 
     if qpos0 is None:
         qpos0 = np.asarray(model.qpos0, dtype=np.float64)
@@ -546,12 +556,14 @@ def make_data(model: Model, dtype=jnp.float32, qpos0: Optional[np.ndarray] = Non
     eye3 = jnp.tile(jnp.eye(3, dtype=dtype), (c.nbody, 1, 1))
 
     contact = Contact(
-        dist=z(ncon), pos=z(ncon, 3), frame=jnp.tile(jnp.eye(3, dtype=dtype), (ncon, 1, 1)),
-        includemargin=z(ncon), friction=z(ncon, 5), solref=z(ncon, 2), solimp=z(ncon, 5),
+        dist=z(ncon), pos=z(ncon, 3),
+        normal=jnp.tile(jnp.asarray([1.0, 0, 0], dtype), (ncon, 1)),
+        includemargin=z(ncon),
         geom1=jnp.zeros(ncon, jnp.int32), geom2=jnp.zeros(ncon, jnp.int32),
         active=jnp.zeros(ncon, bool),
         condim=jnp.full(ncon, 3, jnp.int32),
         body1=jnp.zeros(ncon, jnp.int32), body2=jnp.zeros(ncon, jnp.int32),
+        wtab=z(nwin, 12),
     )
 
     return Data(

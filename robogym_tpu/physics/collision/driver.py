@@ -66,7 +66,10 @@ _CONVEX_TYPES = (
 # (hand self-collision, 899 pairs in the locked world) rarely has more than
 # a handful of active pairs, so it gets a tighter budget
 DEFAULT_GROUP_CAP = 48
-KIND_GROUP_CAP = {"convex": 16, "box_convex": 32}
+# plane_convex: measured 0 broadphase-active pairs over whole locked
+# rollouts (the hand hovers above the floor; only a dropped cube brings
+# plane contacts, and those ride plane_prim) — 8 winners is generous
+KIND_GROUP_CAP = {"convex": 16, "box_convex": 32, "plane_convex": 8}
 
 
 @functools.lru_cache(maxsize=32)
@@ -164,6 +167,162 @@ def geom_rbound(m: Model) -> jax.Array:
         mesh_ids = jnp.clip(jnp.asarray(c.geom_dataid), 0, c.nmesh - 1)
         rb = jnp.where(jnp.asarray(t == GeomType.MESH), mesh_r[mesh_ids], rb)
     return rb
+
+
+def geom_capsules(m: Model, d: Data):
+    """Per-geom conservative world-frame bounding capsule: (a, b, r) with
+    segment endpoints a/b (ngeom, 3) and radius r (ngeom,).
+
+    Bounding SPHERES are nearly useless as a broadphase for articulated
+    hands: the locked world's 899 mesh-mesh pairs average ~338 sphere
+    overlaps per state while only ~a dozen pairs are genuinely near
+    (scripts/measure_active.py). Elongated phalanx hulls fit capsules
+    tightly, so capsule-capsule distance is a usable conservative lower
+    bound on geom distance. Mesh capsules are fitted at runtime from
+    `mesh_convex_vert` (covers per-episode hull swaps via model_fields);
+    everything here depends on Model + geom poses only, so XLA hoists the
+    fits out of the substep scan.
+    """
+    c = m.const
+    t = np.asarray(c.geom_type)
+    s = m.geom_size
+    dtype = s.dtype
+    ngeom = c.ngeom
+    xp, xm = d.geom_xpos, d.geom_xmat
+
+    # local axis (unit), half-length along it, radius — per geom type
+    is_zaxis = (t == GeomType.CAPSULE) | (t == GeomType.CYLINDER)
+    is_long = (t == GeomType.BOX) | (t == GeomType.ELLIPSOID)
+    # longest-dimension one-hot (geom_size is randomizable -> traced)
+    smax = jnp.max(s, axis=1, keepdims=True)
+    axis_long = (s >= smax).astype(dtype)
+    axis_long = axis_long / jnp.maximum(
+        jnp.sum(axis_long, axis=1, keepdims=True), 1.0
+    )
+    zaxis = jnp.broadcast_to(jnp.asarray([0.0, 0, 1], dtype), (ngeom, 3))
+    u_loc = jnp.where(
+        jnp.asarray(is_zaxis)[:, None], zaxis,
+        jnp.where(jnp.asarray(is_long)[:, None], axis_long, zaxis),
+    )
+    halflen = jnp.where(
+        jnp.asarray(is_zaxis), s[:, 1],
+        jnp.where(jnp.asarray(is_long), smax[:, 0], 0.0),
+    )
+    sq = jnp.sum(s * s, axis=1)
+    r_perp_box = jnp.sqrt(jnp.maximum(sq - smax[:, 0] ** 2, 0.0))
+    radius = jnp.where(
+        jnp.asarray(is_zaxis), s[:, 0],
+        jnp.where(jnp.asarray(is_long), r_perp_box, s[:, 0]),
+    )
+    radius = jnp.where(jnp.asarray(t == GeomType.PLANE), 0.0, radius)
+
+    off_loc = u_loc * halflen[:, None]
+
+    if c.nmesh:
+        mv = m.mesh_convex_vert                       # (nmesh, V, 3)
+        mask = m.mesh_convex_mask > 0                 # (nmesh, V)
+        ctr = m.mesh_convex_center                    # (nmesh, 3)
+        cv = jnp.where(mask[:, :, None], mv - ctr[:, None, :], 0.0)
+        # principal axis by power iteration on the 3x3 vertex covariance;
+        # convergence only affects tightness, never correctness (the
+        # radius below covers all verts for WHATEVER axis is used)
+        C = jnp.einsum("mvi,mvj->mij", cv, cv)
+        u = jnp.full((c.nmesh, 3), 1.0 / np.sqrt(3.0), dtype)
+        for _ in range(8):
+            u = jnp.einsum("mij,mj->mi", C, u)
+            u = u / (jnp.linalg.norm(u, axis=-1, keepdims=True) + 1e-20)
+        tp = jnp.einsum("mvi,mi->mv", cv, u)          # (nmesh, V)
+        tmin = jnp.min(jnp.where(mask, tp, 0.0), axis=1)
+        tmax = jnp.max(jnp.where(mask, tp, 0.0), axis=1)
+        perp = cv - tp[:, :, None] * u[:, None, :]
+        rper = jnp.sqrt(
+            jnp.max(
+                jnp.where(mask, jnp.sum(perp * perp, axis=-1), 0.0), axis=1
+            )
+        )
+        a_loc_m = ctr + u * tmin[:, None]             # (nmesh, 3)
+        b_loc_m = ctr + u * tmax[:, None]
+        mids = jnp.clip(jnp.asarray(c.geom_dataid), 0, c.nmesh - 1)
+        is_mesh = jnp.asarray(t == GeomType.MESH)
+        a_loc = jnp.where(is_mesh[:, None], a_loc_m[mids], -off_loc)
+        b_loc = jnp.where(is_mesh[:, None], b_loc_m[mids], off_loc)
+        radius = jnp.where(is_mesh, rper[mids], radius)
+    else:
+        a_loc, b_loc = -off_loc, off_loc
+
+    a_w = xp + jnp.einsum("gij,gj->gi", xm, a_loc)
+    b_w = xp + jnp.einsum("gij,gj->gi", xm, b_loc)
+    return a_w, b_w, radius
+
+
+def _seg_seg_dist(p1, q1, p2, q2):
+    """Batched min distance between segments [p1,q1] and [p2,q2]
+    ((n, 3) each). Ericson's clamped closed form with degenerate guards."""
+    eps = 1e-12
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.sum(d1 * d1, -1)
+    e = jnp.sum(d2 * d2, -1)
+    f = jnp.sum(d2 * r, -1)
+    cc = jnp.sum(d1 * r, -1)
+    b = jnp.sum(d1 * d2, -1)
+    denom = a * e - b * b
+    s = jnp.where(denom > eps, jnp.clip((b * f - cc * e) / (denom + eps), 0.0, 1.0), 0.0)
+    t = jnp.where(e > eps, (b * s + f) / (e + eps), 0.0)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.where(
+        jnp.abs(t - t_cl) > 0,
+        jnp.clip(jnp.where(a > eps, (b * t_cl - cc) / (a + eps), 0.0), 0.0, 1.0),
+        s,
+    )
+    cp1 = p1 + d1 * s[:, None]
+    cp2 = p2 + d2 * t_cl[:, None]
+    return jnp.linalg.norm(cp1 - cp2, axis=-1)
+
+
+def _rank_onehot(active, K: int, dtype):
+    """(n,) bool -> (K, n) exact one-hot selecting the first K active
+    entries in table order; rows past the active count are all-zero.
+
+    Replaces lax.top_k for broadphase winner selection: with capsule-tight
+    bounds the candidate count stays below K (measured), so order-of-
+    arrival selection keeps every candidate and costs a cumsum + compare
+    instead of a full per-env sort."""
+    rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+    rank = jnp.where(active, rank, -1)
+    return (
+        rank[None, :] == jax.lax.iota(jnp.int32, K)[:, None]
+    ).astype(dtype)
+
+
+def broadphase_scores(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP):
+    """Diagnostic: per-group broadphase clearance scores (score > 0 =
+    candidate), same math as collision(). Used by scripts/measure_active.py
+    to size the per-group K caps."""
+    c = m.const
+    groups = build_groups(c, group_cap)
+    cap_a, cap_b, cap_r = geom_capsules(m, d)
+    xmat9 = d.geom_xmat.reshape(c.ngeom, 9)
+    out = []
+    for grp in groups:
+        n = len(grp["g1"])
+        P1, P2 = jnp.asarray(grp["P1"]), jnp.asarray(grp["P2"])
+        _, _, _, margin_p, _ = _mix_params(m, grp["g1"], grp["g2"])
+        xp1 = P1 @ d.geom_xpos
+        if grp["kind"].startswith("plane"):
+            nrm_full = (P1 @ xmat9).reshape(n, 3, 3)[:, :, 2]
+            a2, b2 = P2 @ cap_a, P2 @ cap_b
+            ha = jnp.sum((a2 - xp1) * nrm_full, axis=-1)
+            hb = jnp.sum((b2 - xp1) * nrm_full, axis=-1)
+            score = P2 @ cap_r + margin_p - jnp.minimum(ha, hb)
+        else:
+            sdist = _seg_seg_dist(
+                P1 @ cap_a, P1 @ cap_b, P2 @ cap_a, P2 @ cap_b
+            )
+            score = P1 @ cap_r + P2 @ cap_r + margin_p - sdist
+        out.append(score)
+    return out
 
 
 def _mesh_world_cache(m: Model, d: Data):
@@ -485,12 +644,12 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
         return d
     dtype = d.qpos.dtype
     groups = build_groups(c, group_cap)
-    rbound = geom_rbound(m)
+    cap_a, cap_b, cap_r = geom_capsules(m, d)
     mesh_cache = _mesh_world_cache(m, d) if c.nmesh else None
 
     all_dist, all_pos, all_frame = [], [], []
     all_g1, all_g2, all_condim = [], [], []
-    all_solref, all_solimp, all_fric, all_margin, all_gap = [], [], [], [], []
+    all_wtab, all_margin = [], []
 
     geom_bodyid_np = np.asarray(c.geom_bodyid, np.int32)
     xmat9 = d.geom_xmat.reshape(c.ngeom, 9)
@@ -511,18 +670,23 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
             m, g1_np, g2_np
         )
 
-        # --- broadphase: bounding-sphere overlap score (all geom lookups
-        # through the static pair one-hots — MXU contractions, no gathers)
+        # --- broadphase: bounding-CAPSULE clearance score (all geom
+        # lookups through the static pair one-hots — MXU contractions, no
+        # gathers). score > 0 <=> the conservative capsule bound cannot
+        # rule the pair out.
         xp1 = P1 @ d.geom_xpos                     # (n, 3)
-        xp2 = P2 @ d.geom_xpos
         if grp["kind"].startswith("plane"):
-            # distance of bounding sphere above plane
+            # min capsule-endpoint height above the plane, minus radius
             nrm_full = (P1 @ xmat9).reshape(n, 3, 3)[:, :, 2]
-            h = jnp.sum((xp2 - xp1) * nrm_full, axis=-1)
-            score = P2 @ rbound + margin_p - h
+            a2, b2 = P2 @ cap_a, P2 @ cap_b
+            ha = jnp.sum((a2 - xp1) * nrm_full, axis=-1)
+            hb = jnp.sum((b2 - xp1) * nrm_full, axis=-1)
+            score = P2 @ cap_r + margin_p - jnp.minimum(ha, hb)
         else:
-            cdist = jnp.linalg.norm(xp2 - xp1, axis=-1)
-            score = P1 @ rbound + P2 @ rbound + margin_p - cdist
+            sdist = _seg_seg_dist(
+                P1 @ cap_a, P1 @ cap_b, P2 @ cap_a, P2 @ cap_b
+            )
+            score = P1 @ cap_r + P2 @ cap_r + margin_p - sdist
 
         # pair-indexed scalar table: one post-broadphase contraction fetches
         # every per-pair quantity (solver params + ids) at once
@@ -549,17 +713,32 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
             axis=-1,
         )
 
+        active_pair = score > 0
         if K < n:
-            score_k, sel = jax.lax.top_k(score, K)
-            oh = _onehot(sel, n, score.dtype)      # (K, n)
+            if grp["kind"].startswith("plane"):
+                # plane groups are empty almost always (measured 0 active
+                # pairs over whole rollouts): first-K candidates in
+                # pair-table order (MuJoCo's own truncation order) — a
+                # cumsum instead of a per-env sort
+                oh = _rank_onehot(active_pair, K, score.dtype)   # (K, n)
+                active_bp = jnp.sum(oh, axis=1) > 0.5
+            else:
+                # dense hand groups overlap far beyond K even with capsule
+                # bounds (convex: ~95 mean candidates, 16 winners) — keep
+                # the deepest-K ranking. bf16 scores halve the sort
+                # bandwidth; ranking precision only shuffles near-ties.
+                score_k, sel = jax.lax.top_k(
+                    score.astype(jnp.bfloat16), K
+                )
+                oh = _onehot(sel, n, score.dtype)  # (K, n)
+                active_bp = score_k > 0
             pk = oh @ ptab
             oh1 = oh @ P1                          # (K, ngeom)
             oh2 = oh @ P2
         else:
-            score_k = score
             pk = ptab
             oh1, oh2 = P1, P2
-        active_bp = score_k > 0
+            active_bp = active_pair
         solref_k, solimp_k, fric5_k = pk[:, 0:2], pk[:, 2:7], pk[:, 7:12]
         margin_k, gap_k = pk[:, 12], pk[:, 13]
         as_i32 = lambda col: jnp.round(col).astype(jnp.int32)
@@ -632,11 +811,12 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
         all_b1.append(jnp.repeat(b1k, ncon))
         all_b2.append(jnp.repeat(b2k, ncon))
         all_condim.append(jnp.repeat(condim_k, ncon))
-        all_solref.append(jnp.repeat(solref_k, ncon, axis=0))
-        all_solimp.append(jnp.repeat(solimp_k, ncon, axis=0))
-        all_fric.append(jnp.repeat(fric5_k, ncon, axis=0))
-        all_margin.append(jnp.repeat(margin_k, ncon))
-        all_gap.append(jnp.repeat(gap_k, ncon))
+        # solver params stay per-WINNER: repeating the 12 f32 columns to
+        # every slot was ~40% of the contact table's HBM traffic
+        all_wtab.append(
+            jnp.concatenate([solref_k, solimp_k, fric5_k], axis=-1)
+        )
+        all_margin.append(jnp.repeat(margin_k - gap_k, ncon))
 
     dist = jnp.concatenate(all_dist)
     pos = jnp.concatenate(all_pos)
@@ -646,33 +826,22 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
     b1s = jnp.concatenate(all_b1)
     b2s = jnp.concatenate(all_b2)
     condims = jnp.concatenate(all_condim)
-
-    solref = jnp.concatenate(all_solref)
-    solimp = jnp.concatenate(all_solimp)
-    friction5 = jnp.concatenate(all_fric)
-    margin = jnp.concatenate(all_margin)
-    gap = jnp.concatenate(all_gap)
-    includemargin = margin - gap
+    wtab = jnp.concatenate(all_wtab)
+    includemargin = jnp.concatenate(all_margin)
     active = dist < includemargin
-
-    t1v = _orthogonal(normal)
-    t2v = jnp.cross(normal, t1v)
-    frame = jnp.stack([normal, t1v, t2v], axis=-2)
 
     contact = Contact(
         dist=dist.astype(dtype),
         pos=pos.astype(dtype),
-        frame=frame.astype(dtype),
+        normal=normal.astype(dtype),
         includemargin=includemargin.astype(dtype),
-        friction=friction5.astype(dtype),
-        solref=solref.astype(dtype),
-        solimp=solimp.astype(dtype),
         geom1=g1s.astype(jnp.int32),
         geom2=g2s.astype(jnp.int32),
         active=active,
         condim=condims.astype(jnp.int32),
         body1=b1s.astype(jnp.int32),
         body2=b2s.astype(jnp.int32),
+        wtab=wtab.astype(dtype),
     )
     return d.replace(contact=contact)
 
@@ -690,6 +859,61 @@ def contact_slot_layout(const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP):
 
 def n_contact_slots(const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP) -> int:
     return len(contact_slot_layout(const, group_cap))
+
+
+@functools.lru_cache(maxsize=32)
+def slot_winner_rows(
+    const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP
+) -> np.ndarray:
+    """Static (ncon_total,) int32: the Contact.wtab row each slot's solver
+    parameters live in. Slot s of group g belongs to winner row s//ncon;
+    winner rows are numbered across groups in the same order the driver
+    concatenates them."""
+    groups = build_groups(const, group_cap)
+    rows: List[int] = []
+    base = 0
+    for grp in groups:
+        K, ncon = grp["K"], grp["ncon"]
+        rows.extend(np.repeat(base + np.arange(K), ncon).tolist())
+        base += K
+    return np.asarray(rows, np.int32)
+
+
+@functools.lru_cache(maxsize=32)
+def n_winner_rows(const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP) -> int:
+    return sum(g["K"] for g in build_groups(const, group_cap))
+
+
+@functools.lru_cache(maxsize=32)
+def slot_winner_onehot(
+    const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP
+) -> np.ndarray:
+    """Static (ncon_total, W) f32 one-hot of slot_winner_rows — composing a
+    dynamic slot selection one-hot with this matrix turns a winner-param
+    lookup into two small MXU matmuls (no per-env gather)."""
+    rows = slot_winner_rows(const, group_cap)
+    W = n_winner_rows(const, group_cap)
+    out = np.zeros((len(rows), W), np.float32)
+    out[np.arange(len(rows)), rows] = 1.0
+    return out
+
+
+def contact_full_params(const: ModelConst, group_cap: int, con):
+    """Per-slot (solref (ncon,2), solimp (ncon,5), friction5 (ncon,5))
+    expanded from the per-winner wtab. Diagnostic/reference-path helper —
+    the hot path composes one-hots instead of materializing these."""
+    sw = jnp.asarray(slot_winner_onehot(const, group_cap), con.wtab.dtype)
+    full = sw @ con.wtab
+    return full[:, 0:2], full[:, 2:7], full[:, 7:12]
+
+
+def contact_frame(con):
+    """(ncon, 3, 3) full contact frames [normal, tan1, tan2] from the
+    stored normals (tangents are the deterministic _orthogonal basis)."""
+    n = con.normal
+    t1v = _orthogonal(n)
+    t2v = jnp.cross(n, t1v)
+    return jnp.stack([n, t1v, t2v], axis=-2)
 
 
 def _mix_params(m: Model, g1, g2):

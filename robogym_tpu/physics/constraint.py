@@ -340,10 +340,15 @@ def make_efc(m: Model, d: Data, Minv: jax.Array = None):
         contact_sel = sel
 
         pos_c = con.pos[sel]
-        frame_c = con.frame[sel]
+        frame_c = collision_driver.contact_frame(con)[sel]
         dist_c = con.dist[sel]
         margin_c = con.includemargin[sel]
-        fric_c = con.friction[sel]
+        wrow = jnp.asarray(
+            collision_driver.slot_winner_rows(c, m.opt.group_cap)
+        )
+        wsel = con.wtab[wrow[sel]]                          # (S, 12)
+        solref_sel, solimp_sel = wsel[:, 0:2], wsel[:, 2:7]
+        fric_c = wsel[:, 7:12]
         act = con.active[sel]
         cd_sel = con.condim[sel]                            # (S,) runtime
         geom_bodyid = jnp.asarray(c.geom_bodyid)
@@ -394,8 +399,8 @@ def make_efc(m: Model, d: Data, Minv: jax.Array = None):
 
         J_con_list.append(rows.reshape(S * nfacet, nv))
         pos_con_list.append(jnp.repeat(pos_row, nfacet))
-        solref_con_list.append(jnp.repeat(con.solref[sel], nfacet, axis=0))
-        solimp_con_list.append(jnp.repeat(con.solimp[sel], nfacet, axis=0))
+        solref_con_list.append(jnp.repeat(solref_sel, nfacet, axis=0))
+        solimp_con_list.append(jnp.repeat(solimp_sel, nfacet, axis=0))
         active_con_list.append(
             (act[:, None] & ok).reshape(S * nfacet)
         )
@@ -606,9 +611,11 @@ def _post_gather_prelude(m: Model, d: Data):
     score = jnp.where(con.active, con.dist - con.includemargin, BIG)
     _, sel = jax.lax.top_k(-score, S)
     # ONE one-hot contraction fetches every per-slot field of the S winners
-    # (pos/frame/dist/margin/friction/solref/solimp/condim/active/body ids).
-    # Per-env dynamic gathers lower to scalar loops on TPU; this is an MXU
-    # matmul (S, ncon) @ (ncon, 30).
+    # (pos/normal/dist/margin/condim/active/body ids). Per-env dynamic
+    # gathers lower to scalar loops on TPU; this is an MXU matmul
+    # (S, ncon) @ (ncon, 12). Winner-level solver params (solref/solimp/
+    # friction) are fetched by composing with the STATIC slot->winner
+    # one-hot — the wide per-slot parameter table no longer exists.
     from robogym_tpu.physics.collision.driver import _onehot
 
     oh = _onehot(sel, ncon, dtype)                       # (S, ncon)
@@ -616,29 +623,35 @@ def _post_gather_prelude(m: Model, d: Data):
     ctab = jnp.concatenate(
         [
             con.pos,                                     # 0:3
-            con.frame.reshape(ncon, 9),                  # 3:12
-            con.dist[:, None],                           # 12
-            con.includemargin[:, None],                  # 13
-            con.friction,                                # 14:19
-            con.solref,                                  # 19:21
-            con.solimp,                                  # 21:26
-            f32(con.condim)[:, None],                    # 26
-            f32(con.active)[:, None],                    # 27
-            f32(con.body1)[:, None],                     # 28
-            f32(con.body2)[:, None],                     # 29
+            con.normal,                                  # 3:6
+            con.dist[:, None],                           # 6
+            con.includemargin[:, None],                  # 7
+            f32(con.condim)[:, None],                    # 8
+            f32(con.active)[:, None],                    # 9
+            f32(con.body1)[:, None],                     # 10
+            f32(con.body2)[:, None],                     # 11
         ],
         axis=-1,
     )
-    g = oh @ ctab                                        # (S, 30)
+    g = oh @ ctab                                        # (S, 12)
     pos_c = g[:, 0:3]
-    frame_c = g[:, 3:12].reshape(S, 3, 3)
-    dist_c, margin_c = g[:, 12], g[:, 13]
-    fric_c = g[:, 14:19]
-    solref_c, solimp_c = g[:, 19:21], g[:, 21:26]
-    cd_sel = jnp.round(g[:, 26]).astype(jnp.int32)
-    act_c = g[:, 27] > 0.5
-    b1 = jnp.round(g[:, 28]).astype(jnp.int32)
-    b2 = jnp.round(g[:, 29]).astype(jnp.int32)
+    normal_c = g[:, 3:6]
+    dist_c, margin_c = g[:, 6], g[:, 7]
+    cd_sel = jnp.round(g[:, 8]).astype(jnp.int32)
+    act_c = g[:, 9] > 0.5
+    b1 = jnp.round(g[:, 10]).astype(jnp.int32)
+    b2 = jnp.round(g[:, 11]).astype(jnp.int32)
+    SW = jnp.asarray(
+        collision_driver.slot_winner_onehot(c, m.opt.group_cap), dtype
+    )                                                    # (ncon, W) static
+    wg = (oh @ SW) @ con.wtab                            # (S, 12)
+    solref_c, solimp_c, fric_c = wg[:, 0:2], wg[:, 2:7], wg[:, 7:12]
+    # full frames only for the S winners (tangent build on 639 slots was
+    # pure waste)
+    t1v = collision_driver._orthogonal(normal_c)
+    frame_c = jnp.stack(
+        [normal_c, t1v, jnp.cross(normal_c, t1v)], axis=-2
+    )                                                    # (S, 3, 3)
     # body-indexed lookups (dof path masks, subtree-root coms) via body
     # one-hots — (S, nbody) @ (nbody, ·) contractions
     ohb1 = _onehot(b1, c.nbody, dtype)

@@ -63,10 +63,15 @@ def main():
         con = d.contact
         sel = sel_topk(d)
         geom_bodyid = jnp.asarray(c.geom_bodyid)
-        return (con.pos[sel], con.frame[sel], con.dist[sel],
-                con.includemargin[sel], con.friction[sel], con.active[sel],
+        from robogym_tpu.physics.collision import driver as _drv
+
+        solref_f, solimp_f, fric_f = _drv.contact_full_params(
+            c, m.opt.group_cap, con
+        )
+        return (con.pos[sel], _drv.contact_frame(con)[sel], con.dist[sel],
+                con.includemargin[sel], fric_f[sel], con.active[sel],
                 con.condim[sel], geom_bodyid[con.geom1[sel]],
-                geom_bodyid[con.geom2[sel]], con.solref[sel], con.solimp[sel])
+                geom_bodyid[con.geom2[sel]], solref_f[sel], solimp_f[sel])
 
     def point_jacs(d):
         con = d.contact
