@@ -752,10 +752,20 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
             fn = grp["fn"]
             d1 = _gather_geom(m, d, oh1, t1)
             d2 = _gather_geom(m, d, oh2, t2)
-            dist, pos, normal = jax.vmap(fn)(
-                d1["xpos"], d1["xmat"], d1["size"],
-                d2["xpos"], d2["xmat"], d2["size"],
-            )
+            if t1 == GeomType.BOX and t2 == GeomType.BOX:
+                # whole 17-slot SAT manifold in one fused kernel
+                # (boxbox_kernel; XLA primitive on CPU)
+                from robogym_tpu.physics.collision import boxbox_kernel
+
+                dist, pos, normal = boxbox_kernel.make_core()(
+                    d1["xpos"], d1["xmat"], d1["size"],
+                    d2["xpos"], d2["xmat"], d2["size"],
+                )
+            else:
+                dist, pos, normal = jax.vmap(fn)(
+                    d1["xpos"], d1["xmat"], d1["size"],
+                    d2["xpos"], d2["xmat"], d2["size"],
+                )
         elif grp["kind"] == "plane_convex":
             # batched plane-vs-hull over K pairs: 4 deepest world verts
             data1 = _gather_geom(m, d, oh1, t1)

@@ -250,9 +250,13 @@ def box_box(xp1, xm1, s1, xp2, xm2, s2):
     d2, p2 = corner_candidates(xp1, xm1, s1, xp2, xm2, s2, +1.0)
     d1, p1 = corner_candidates(xp2, xm2, s2, xp1, xm1, s1, -1.0)
 
-    # SAT witness point for edge-edge (support midpoint)
-    sup1 = xp1 + xm1 @ (jnp.sign(xm1.T @ n) * s1)
-    sup2 = xp2 + xm2 @ (jnp.sign(xm2.T @ (-n)) * s2)
+    # SAT witness point for edge-edge (support midpoint). sign() with a
+    # deadband: a box axis exactly perpendicular to n (face-face) makes
+    # sign(dot) knife-edge on rounding — the deadband deterministically
+    # picks the face midpoint on every backend/kernel path.
+    dsign = lambda x: jnp.where(jnp.abs(x) > 1e-6, jnp.sign(x), 0.0)
+    sup1 = xp1 + xm1 @ (dsign(xm1.T @ n) * s1)
+    sup2 = xp2 + xm2 @ (dsign(xm2.T @ (-n)) * s2)
     d_sat = -sat_depth
     p_sat = 0.5 * (sup1 + sup2)
 

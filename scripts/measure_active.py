@@ -43,12 +43,22 @@ def main():
     keys = jax.random.split(jax.random.key(0), B)
     state, _ = jax.jit(jax.vmap(env.reset))(keys)
 
+    # static slot ranges per group (driver concatenation order)
+    slot_ranges = []
+    base = 0
+    for g in groups:
+        nslots = g["K"] * g["ncon"]
+        slot_ranges.append((base, base + nslots))
+        base += nslots
+
     def group_counts(d):
-        """Per-group number of bp-active pairs for one env's Data."""
+        """Per-group bp-active pair count + per-group touching-slot count."""
         scores = driver.broadphase_scores(m, d, m.opt.group_cap)
         out = [jnp.sum(s > 0) for s in scores]
         con = d.contact
         out.append(jnp.sum(con.active))
+        for lo, hi in slot_ranges:
+            out.append(jnp.sum(con.active[lo:hi]))
         return jnp.stack(out)
 
     def adv(state, key):
@@ -64,8 +74,16 @@ def main():
         allc.append(np.asarray(counts))
     allc = np.concatenate(allc, 0)  # (steps*B, ngroups+1)
 
-    names = [g["kind"] for g in groups] + ["contact_slots_active"]
-    caps = [g["K"] for g in groups] + [m.opt.ncon_active]
+    names = (
+        [g["kind"] for g in groups]
+        + ["contact_slots_active"]
+        + [g["kind"] + ":touching" for g in groups]
+    )
+    caps = (
+        [g["K"] for g in groups]
+        + [m.opt.ncon_active]
+        + [g["K"] * g["ncon"] for g in groups]
+    )
     print(f"{'group':<24}{'cap':>5}{'mean':>8}{'p99':>6}{'max':>6}")
     for j, nm in enumerate(names):
         col = allc[:, j]
