@@ -253,3 +253,155 @@ def test_shadow_hand_smooth_conformance():
     err = np.abs(ours - theirs).max(axis=(1,))
     assert err[24] < 1e-5, f"early divergence {err[24]:.2e}"
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 depth (VERDICT #4): env-level dactyl/reach trajectory conformance.
+# MuJoCo 3 has no cymj user-gain callback, so the C engine is driven by a
+# NUMPY reimplementation of the same PID (force injected via qfrc_applied
+# per substep) while our engine runs its in-engine controller — this
+# cross-checks both the PID semantics (physics/actuation.py) and the full
+# hand dynamics on the real reach world (BASELINE config #1).
+# ---------------------------------------------------------------------------
+
+
+class _NumpyPid:
+    """mujoco-py cymj PID (position) controller, numpy (actuation.py:85-121
+    semantics; gainprm = [Kp, Ti, iMax, Td, dSmooth, deadband])."""
+
+    def __init__(self, m, pid_ids):
+        gp = np.asarray(m.actuator_gainprm, np.float64)[pid_ids]
+        self.kp, self.ti, self.imax = gp[:, 0], gp[:, 1], gp[:, 2]
+        self.td, self.dsmooth, self.deadband = gp[:, 3], gp[:, 4], gp[:, 5]
+        n = len(pid_ids)
+        self.integral = np.zeros(n)
+        self.prev_err = np.zeros(n)
+        self.dsm = np.zeros(n)
+
+    def __call__(self, target, length, dt):
+        error = target - length
+        error = np.where(np.abs(error) < self.deadband, 0.0, error)
+        self.integral += error * dt
+        lim = np.where(
+            self.ti > 1e-12,
+            self.imax * self.ti / np.maximum(self.kp, 1e-12), 0.0,
+        )
+        self.integral = np.clip(self.integral, -lim, lim)
+        deriv = (error - self.prev_err) / max(dt, 1e-12)
+        self.dsm = self.dsmooth * self.dsm + (1.0 - self.dsmooth) * deriv
+        iterm = np.where(
+            self.ti > 1e-12,
+            self.kp * self.integral / np.maximum(self.ti, 1e-12), 0.0,
+        )
+        f = self.kp * error + iterm + self.kp * self.td * self.dsm
+        self.prev_err = error
+        return f
+
+
+def test_reach_env_conformance():
+    """dactyl/reach world (BASELINE config #1, batch=1): 100 substeps of
+    sinusoidal position targets must track MuJoCo 3 within 1e-4 rad.
+    Contacts are disabled in both engines (the reach task is contact-free;
+    hand self-collision engages only at extreme curls)."""
+    import xml.etree.ElementTree as ET
+
+    from robogym_tpu.envs.dactyl.reach import build_reach_xml
+    from robogym_tpu.mjcf.model import GainType, TrnType
+    from robogym_tpu.physics import tables
+
+    xml_str = build_reach_xml().xml_string()
+    m = compile_xml(xml_str, dtype=jnp.float64)
+    c = m.const
+
+    # MuJoCo 3 side: scrub 2.0-era attrs, drop actuators (no user-gain
+    # callback exists there; forces arrive via qfrc_applied instead)
+    root = ET.fromstring(xml_str)
+    for opt in root.iter("option"):
+        for bad in ("apirate", "collision", "impratio"):
+            opt.attrib.pop(bad, None)
+    for flag in root.iter("flag"):
+        flag.attrib.pop("refsafe", None)
+    for parent in root.iter():
+        for child in list(parent):
+            if child.tag == "actuator":
+                parent.remove(child)
+    mj_model = mujoco.MjModel.from_xml_string(
+        ET.tostring(root, encoding="unicode")
+    )
+    mj_model.geom_contype[:] = 0
+    mj_model.geom_conaffinity[:] = 0
+    mj_data = mujoco.MjData(mj_model)
+
+    # our side: collisions off to match
+    object.__setattr__(c, "collision_pairs", c.collision_pairs[:0])
+    d = make_data(m, dtype=jnp.float64)
+    mj_data.qpos[:] = np.asarray(d.qpos)
+    mujoco.mj_forward(mj_model, mj_data)
+    step_j = jax.jit(lambda dd: S.step(m, dd))
+
+    # transmission mapping for the numpy driver (smooth.transmission)
+    gt = np.asarray(c.actuator_gaintype)
+    pid_ids = np.nonzero(gt == GainType.USER)[0]
+    assert len(pid_ids) == 20, "reach hand should have 20 PID actuators"
+    pid = _NumpyPid(m, pid_ids)
+    gear = np.asarray(m.actuator_gear, np.float64)[pid_ids, 0]
+    trntype = np.asarray(c.actuator_trntype)[pid_ids]
+    trnid = np.asarray(c.actuator_trnid)[pid_ids]
+    jnt_qposadr = np.asarray(c.jnt_qposadr)
+    jnt_dofadr = np.asarray(c.jnt_dofadr)
+    frclim = np.asarray(c.actuator_forcelimited)[pid_ids]
+    frcrange = np.asarray(m.actuator_forcerange, np.float64)[pid_ids]
+    ctrl_low = np.asarray(m.actuator_ctrlrange, np.float64)[:, 0]
+    ctrl_high = np.asarray(m.actuator_ctrlrange, np.float64)[:, 1]
+    dt = float(m.opt.timestep)
+
+    # tendon name -> MuJoCo tendon id (ours and MuJoCo order both come
+    # from the same XML, but map by name to be safe)
+    mj_ten = {
+        mujoco.mj_id2name(mj_model, mujoco.mjtObj.mjOBJ_TENDON, i): i
+        for i in range(mj_model.ntendon)
+    }
+    ten_id2name = {v: k for k, v in c.names.get("tendon", {}).items()}
+    ten_names = [ten_id2name[i] for i in range(c.ntendon)]
+
+    rng = np.random.RandomState(0)
+    phase = rng.uniform(0, 2 * np.pi, 20)
+    ours, theirs = [], []
+    for t in range(100):
+        # identical sinusoidal position targets inside ctrlrange
+        frac = 0.5 + 0.35 * np.sin(0.03 * t + phase)
+        target = ctrl_low + frac * (ctrl_high - ctrl_low)
+
+        # --- MuJoCo driven by the numpy PID through qfrc_applied
+        mujoco.mj_forward(mj_model, mj_data)
+        length = np.zeros(len(pid_ids))
+        for k, (tt, ti_) in enumerate(zip(trntype, trnid)):
+            if tt == TrnType.JOINT:
+                length[k] = gear[k] * mj_data.qpos[jnt_qposadr[ti_]]
+            else:
+                mj_tid = mj_ten[ten_names[ti_]]
+                length[k] = gear[k] * mj_data.ten_length[mj_tid]
+        f = pid(target[pid_ids], length, dt)
+        f = np.where(frclim, np.clip(f, frcrange[:, 0], frcrange[:, 1]), f)
+        qfrc = np.zeros(mj_model.nv)
+        for k, (tt, ti_) in enumerate(zip(trntype, trnid)):
+            if tt == TrnType.JOINT:
+                qfrc[jnt_dofadr[ti_]] += gear[k] * f[k]
+            else:
+                mj_tid = mj_ten[ten_names[ti_]]
+                qfrc += gear[k] * f[k] * mj_data.ten_J[mj_tid]
+        mj_data.qfrc_applied[:] = qfrc
+        mujoco.mj_step(mj_model, mj_data)
+
+        # --- our engine runs its own in-engine PID
+        d = d.replace(ctrl=jnp.asarray(target, jnp.float64))
+        d = step_j(d)
+        ours.append(np.asarray(d.qpos))
+        theirs.append(mj_data.qpos.copy())
+
+    ours = np.stack(ours)
+    theirs = np.stack(theirs)
+    err = np.abs(ours - theirs).max(axis=1)
+    # documented budget (PARITY.md): 1e-5 at substep 25, 1e-4 over 100
+    assert err[24] < 1e-5, f"early divergence {err[24]:.2e}"
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
