@@ -6,7 +6,8 @@ LANE envs) inside one VMEM program. The XLA lowering of the vmapped
 primitive was ~0.5 ms/substep on dactyl/locked (B=1024): dozens of small
 batched ops with HBM round trips between them; here it is one fused pass.
 
-Dispatch follows the convex_kernel custom_vmap pattern: the unbatched call
+Dispatch follows the shared pallas_dispatch pattern (a real JAX primitive
+with a batching rule — see physics/pallas_dispatch.py): the unbatched call
 (and CPU runs) use the XLA primitive via jax.vmap; an env-batched call on
 TPU runs the Pallas kernel with the batch on the minor (lane) axis.
 
@@ -22,7 +23,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -193,31 +193,17 @@ def _build_call(K: int):
 
 @functools.lru_cache(maxsize=1)
 def make_core():
-    """custom_vmap box-box manifold over K pairs.
+    """Batch-dispatched box-box manifold over K pairs (pallas_dispatch).
     Per-env args: xp1/xp2 (K,3), xm1/xm2 (K,3,3), s1/s2 (K,3).
     Returns (dist (K,17), pos (K,17,3), normal (K,17,3))."""
+    from robogym_tpu.physics.pallas_dispatch import make_batched_dispatch
 
     def ref(xp1, xm1, s1, xp2, xm2, s2):
         return jax.vmap(prim.box_box)(xp1, xm1, s1, xp2, xm2, s2)
 
-    @custom_batching.custom_vmap
-    def core(xp1, xm1, s1, xp2, xm2, s2):
-        return ref(xp1, xm1, s1, xp2, xm2, s2)
-
-    @core.def_vmap
-    def _rule(axis_size, in_batched, xp1, xm1, s1, xp2, xm2, s2):
+    def batched(xp1, xm1, s1, xp2, xm2, s2):
         import os
 
-        def bc(x, b):
-            if b:
-                return x
-            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-
-        xp1, xm1, s1, xp2, xm2, s2 = (
-            bc(a, b) for a, b in zip(
-                (xp1, xm1, s1, xp2, xm2, s2), in_batched
-            )
-        )
         use_pallas = (
             (
                 jax.default_backend() not in ("cpu", "gpu")
@@ -225,9 +211,8 @@ def make_core():
             )
             and not os.environ.get("ROBOGYM_TPU_NO_PALLAS")
         )
-        if not use_pallas:
-            out = jax.vmap(ref)(xp1, xm1, s1, xp2, xm2, s2)
-            return out, (True, True, True)
+        if not use_pallas or xp1.ndim != 3:
+            return jax.vmap(ref)(xp1, xm1, s1, xp2, xm2, s2)
 
         B, K = xp1.shape[:2]
         pad = (-B) % LANE
@@ -251,6 +236,6 @@ def make_core():
         pos_b = back(pos)                                # (B, K, 17, 3)
         n_b = back(n)                                    # (B, K, 3)
         n_full = jnp.broadcast_to(n_b[:, :, None, :], pos_b.shape)
-        return (dist_b, pos_b, n_full), (True, True, True)
+        return dist_b, pos_b, n_full
 
-    return core
+    return make_batched_dispatch("boxbox_manifold", ref, batched)

@@ -19,7 +19,7 @@ Both boxes and meshes enter as padded vert hulls ((K, 3, 8) corners for
 boxes) — the VERDICT-prescribed unification. Pairs involving analytic
 round geoms (sphere/capsule/cylinder/ellipsoid) stay on the XLA path.
 
-Used via `_make_hull_core` (jax.custom_batching.custom_vmap): unbatched /
+Used via `_make_hull_core` (physics/pallas_dispatch primitive): unbatched /
 non-TPU calls run an equivalent XLA reference; batched TPU calls dispatch
 here. ROBOGYM_TPU_NO_PALLAS forces the reference path.
 """
@@ -31,7 +31,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -417,33 +416,18 @@ def _reference_hull_pair(v1, v2, c1, c2, xd, dirs12, ring, DX):
 
 @functools.lru_cache(maxsize=32)
 def _make_hull_core(DX: int):
-    """custom_vmap single-point hull-hull collision.
+    """Batch-dispatched single-point hull-hull collision (pallas_dispatch).
     Per-env args: v1 (K,3,V1), v2 (K,3,V2), c1/c2 (K,3), xd (K,max(DX,1),3),
     plus the static direction tables dirs12 (12,3) / ring (RING_N,2) as
     explicit arguments (const-free contract, see _reference_hull_pair).
     Returns (dist (K,), pos (K,3), n (K,3), p2 (K,3))."""
+    from robogym_tpu.physics.pallas_dispatch import make_batched_dispatch
 
-    @custom_batching.custom_vmap
-    def core(v1, v2, c1, c2, xd, dirs12, ring):
+    def ref(v1, v2, c1, c2, xd, dirs12, ring):
         return _reference_hull_pair(v1, v2, c1, c2, xd, dirs12, ring, DX)
 
-    @core.def_vmap
-    def _rule(axis_size, in_batched, v1, v2, c1, c2, xd, dirs12, ring):
+    def batched(v1, v2, c1, c2, xd, dirs12, ring):
         import os
-
-        # broadcast any unbatched operand (e.g. the zero extra-dirs constant
-        # for mesh-mesh groups, or the static direction tables) so both
-        # paths see a uniform leading batch
-        def bc(x, b):
-            if b:
-                return x
-            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-
-        v1, v2, c1, c2, xd, dirs12, ring = (
-            bc(a, b) for a, b in zip(
-                (v1, v2, c1, c2, xd, dirs12, ring), in_batched
-            )
-        )
 
         use_pallas = (
             (
@@ -453,10 +437,7 @@ def _make_hull_core(DX: int):
             and not os.environ.get("ROBOGYM_TPU_NO_PALLAS")
         )
         if not use_pallas:
-            out = jax.vmap(
-                lambda *a: _reference_hull_pair(*a, DX)
-            )(v1, v2, c1, c2, xd, dirs12, ring)
-            return out, (True, True, True, True)
+            return jax.vmap(ref)(v1, v2, c1, c2, xd, dirs12, ring)
 
         B, K, _, V1 = v1.shape
         V2 = v2.shape[-1]
@@ -477,9 +458,9 @@ def _make_hull_core(DX: int):
             padlane(t(xd)),
         )
         back = lambda x: jnp.moveaxis(x[..., :B], -1, 0)
-        return (back(dist), back(pos), back(n), back(p2)), (True,) * 4
+        return back(dist), back(pos), back(n), back(p2)
 
-    return core
+    return make_batched_dispatch(f"hull_pair_dx{DX}", ref, batched)
 
 
 @functools.lru_cache(maxsize=32)
@@ -569,27 +550,15 @@ def _reference_hull_manifold(v1, v2, c1, c2, xd, dirs12, ring, DX):
 
 @functools.lru_cache(maxsize=32)
 def _make_hull_manifold_core(DX: int):
-    """custom_vmap box-vs-hull 4-point manifold (same argument contract as
-    _make_hull_core). Returns (dist4 (K,4), pos4 (K,4,3), n (K,3))."""
+    """Batch-dispatched box-vs-hull 4-point manifold (same argument contract
+    as _make_hull_core). Returns (dist4 (K,4), pos4 (K,4,3), n (K,3))."""
+    from robogym_tpu.physics.pallas_dispatch import make_batched_dispatch
 
-    @custom_batching.custom_vmap
-    def core(v1, v2, c1, c2, xd, dirs12, ring):
+    def ref(v1, v2, c1, c2, xd, dirs12, ring):
         return _reference_hull_manifold(v1, v2, c1, c2, xd, dirs12, ring, DX)
 
-    @core.def_vmap
-    def _rule(axis_size, in_batched, v1, v2, c1, c2, xd, dirs12, ring):
+    def batched(v1, v2, c1, c2, xd, dirs12, ring):
         import os
-
-        def bc(x, b):
-            if b:
-                return x
-            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-
-        v1, v2, c1, c2, xd, dirs12, ring = (
-            bc(a, b) for a, b in zip(
-                (v1, v2, c1, c2, xd, dirs12, ring), in_batched
-            )
-        )
 
         use_pallas = (
             (
@@ -599,10 +568,7 @@ def _make_hull_manifold_core(DX: int):
             and not os.environ.get("ROBOGYM_TPU_NO_PALLAS")
         )
         if not use_pallas:
-            out = jax.vmap(
-                lambda *a: _reference_hull_manifold(*a, DX)
-            )(v1, v2, c1, c2, xd, dirs12, ring)
-            return out, (True, True, True)
+            return jax.vmap(ref)(v1, v2, c1, c2, xd, dirs12, ring)
 
         B, K, _, V1 = v1.shape
         V2 = v2.shape[-1]
@@ -623,6 +589,6 @@ def _make_hull_manifold_core(DX: int):
             padlane(t(xd)),
         )
         back = lambda x: jnp.moveaxis(x[..., :B], -1, 0)
-        return (back(dist4), back(pos4), back(n)), (True,) * 3
+        return back(dist4), back(pos4), back(n)
 
-    return core
+    return make_batched_dispatch(f"hull_manifold_dx{DX}", ref, batched)

@@ -885,36 +885,23 @@ def _scan_cg_solve(J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0,
 def _make_cg_core(iterations: int):
     """CG solve core on premasked row weights.
 
-    Wrapped in `jax.custom_batching.custom_vmap`: the single-env path is the
-    reference pure-JAX scan; under vmap on TPU the whole batch dispatches to
-    the fused Pallas kernel (physics/cg_kernel.py) that runs the iteration
-    loop in VMEM with the env batch in the lane dimension — removing the
+    Dispatched via `physics/pallas_dispatch` (a real primitive with a
+    batching rule): the single-env path is the reference pure-JAX scan;
+    under vmap on TPU the whole batch dispatches to the fused Pallas kernel
+    (physics/cg_kernel.py) that runs the iteration loop in VMEM with the
+    env batch in the lane dimension — removing the
     ~20-dependent-small-ops-per-iteration dispatch latency that dominated
     the constraint phase (PROFILE.md)."""
-    from jax import custom_batching
+    from robogym_tpu.physics.pallas_dispatch import make_batched_dispatch
 
     def scan_solve(J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0):
         return _scan_cg_solve(J, aref, Deq, Done, Dfr, floss, M, Minv, qs,
                               x0, iterations)
 
-    @custom_batching.custom_vmap
-    def core(J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0):
-        return scan_solve(J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0)
-
-    @core.def_vmap
-    def _rule(axis_size, in_batched,
-              J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0):
+    def batched(J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0):
         import os
 
-        def bc(x, b):
-            if b:
-                return x
-            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-
-        args = tuple(
-            bc(a, b) for a, b in
-            zip((J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0), in_batched)
-        )
+        args = (J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0)
         backend = jax.default_backend()
         # default on TPU; ROBOGYM_TPU_NO_PALLAS forces the XLA scan path
         use_pallas = (
@@ -932,9 +919,9 @@ def _make_cg_core(iterations: int):
             f = f.astype(J.dtype)
         else:
             x, f = jax.vmap(scan_solve)(*args)
-        return (x, f), (True, True)
+        return x, f
 
-    return core
+    return make_batched_dispatch(f"cg_core_{iterations}", scan_solve, batched)
 
 
 def _solve_cg(m: Model, d: Data, efc, is_eq, is_one, is_fric, Minv) -> Data:

@@ -6,8 +6,8 @@ tensors whose minor dims (3, then nv=30) tile at ~2-9% density on TPU —
 the assembly, not the CG iteration, dominated the constraint phase
 (scripts/profile_constraint.py).
 
-This module moves the whole post-gather pipeline behind ONE
-`jax.custom_batching.custom_vmap` boundary:
+This module moves the whole post-gather pipeline behind ONE batched
+dispatch boundary (physics/pallas_dispatch primitive):
 
   * reference path (unbatched / CPU): exactly the make_efc contact-facet
     construction + the XLA scan CG — bitwise-compatible semantics.
@@ -30,7 +30,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import custom_batching
 
 BIG = 1e10
 
@@ -196,30 +195,16 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
             return x, qfrc, f, qvel_new, qs
         return x, qfrc, f, qvel_new
 
-    n_out = 3 + (1 if with_euler else 0) + (1 if with_smooth else 0)
-
-    @custom_batching.custom_vmap
-    def solve(J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
-              diagA_s,
-              pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
-              iw_c,
-              mask1, mask2, rc1, rc2, solref_c, solimp_c,
-              cdof, qvel, qM, *tail):
-        return reference(
-            J_s, pos_s, solref_s, solimp_s, floss_s, active_s, diagA_s,
-            pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel, iw_c,
-            mask1, mask2, rc1, rc2, solref_c, solimp_c,
-            cdof, qvel, qM, *tail,
-        )
-
-    @solve.def_vmap
-    def _rule(axis_size, in_batched,
-              J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
-              diagA_s,
-              pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
-              iw_c,
-              mask1, mask2, rc1, rc2, solref_c, solimp_c,
-              cdof, qvel, qM, *tail):
+    def batched(J_s, pos_s, solref_s, solimp_s, floss_s, active_s,
+                diagA_s,
+                pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
+                iw_c,
+                mask1, mask2, rc1, rc2, solref_c, solimp_c,
+                cdof, qvel, qM, *tail):
+        # every operand arrives with a uniform leading batch axis:
+        # pallas_dispatch's batching rule broadcasts the unbatched ones
+        # (constant scalar-block rows, model-constant solref/floss, shared
+        # damp/dt) before calling here
         import os
 
         use_pallas = (
@@ -229,44 +214,14 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
             )
             and not os.environ.get("ROBOGYM_TPU_NO_PALLAS")
         )
-        if use_pallas:
-            # broadcast unbatched operands (constant scalar-block rows,
-            # model-constant solref/floss, shared damp/dt) to a uniform
-            # leading batch — requiring all(in_batched) silently dropped
-            # the whole fused path to the vmapped-XLA fallback (two
-            # batched Choleskys per substep) on every real env, since
-            # joint-limit J rows are model constants
-            def bc(x, b):
-                if b:
-                    return x
-                return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-
-            args = [
-                J_s, pos_s, solref_s, solimp_s, floss_s, active_s, diagA_s,
-                pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
-                iw_c,
-                mask1, mask2, rc1, rc2, solref_c, solimp_c,
-                cdof, qvel, qM, *tail,
-            ]
-            args = [bc(a, b) for a, b in zip(args, in_batched)]
-            (J_s, pos_s, solref_s, solimp_s, floss_s, active_s, diagA_s,
-             pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
-             iw_c,
-             mask1, mask2, rc1, rc2, solref_c, solimp_c,
-             cdof, qvel, qM, *tail) = args
         if not use_pallas:
-            mapped = jax.vmap(
-                reference,
-                in_axes=tuple(0 if b else None for b in in_batched),
-            )
-            out = mapped(
+            return jax.vmap(reference)(
                 J_s, pos_s, solref_s, solimp_s, floss_s, active_s, diagA_s,
                 pos_c, frame_c, dist_c, margin_c, fric_c, act_c, cd_sel,
                 iw_c,
                 mask1, mask2, rc1, rc2, solref_c, solimp_c,
                 cdof, qvel, qM, *tail,
             )
-            return out, (True,) * n_out
 
         from robogym_tpu.physics import cg_kernel
 
@@ -346,13 +301,18 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
             )
             # kernel order (x, f, qfrc, ...) -> core order (x, qfrc, f, ...)
             x_t, f_t, qfrc_t = out_t[0], out_t[1], out_t[2]
-            out = (back(x_t), back(qfrc_t), back(f_t)) + tuple(
+            return (back(x_t), back(qfrc_t), back(f_t)) + tuple(
                 back(o) for o in out_t[3:]
             )
-            return out, (True,) * n_out
         x_t, f_t, qfrc_t = cg_kernel.solve_cg_full(
             kind_full, iterations, inputs
         )
-        return (back(x_t), back(qfrc_t), back(f_t)), (True, True, True)
+        return back(x_t), back(qfrc_t), back(f_t)
 
-    return solve
+    from robogym_tpu.physics.pallas_dispatch import make_batched_dispatch
+
+    return make_batched_dispatch(
+        f"cg_full_f{nfacet}_i{iterations}"
+        f"_e{int(with_euler)}_s{int(with_smooth)}",
+        reference, batched,
+    )

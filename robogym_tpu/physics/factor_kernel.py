@@ -12,7 +12,7 @@ steps of rank-1 (V,V,L) updates), forward substitution for Linv, then
 Ainv = Linv^T Linv — ~3*V FMA sweeps over a (V,V,128) VMEM tile, no HBM
 round-trips.
 
-Used via `spd_inverse` (jax.custom_batching.custom_vmap): unbatched or
+Used via `spd_inverse` (physics/pallas_dispatch primitive): unbatched or
 non-TPU calls run the XLA cholesky reference path; batched TPU calls
 dispatch here. Set ROBOGYM_TPU_NO_PALLAS=1 to force the reference path.
 """
@@ -146,26 +146,21 @@ def _spd_inverse_ref(A: jax.Array) -> jax.Array:
     return Linv.T @ Linv
 
 
-from jax import custom_batching
-
-
-@custom_batching.custom_vmap
-def spd_inverse(A: jax.Array) -> jax.Array:
-    """SPD inverse of an (nv, nv) matrix (vmap-batched on TPU -> Pallas)."""
-    return _spd_inverse_ref(A)
-
-
-@spd_inverse.def_vmap
-def _spd_inverse_vmap(axis_size, in_batched, A):
-    del axis_size
+def _spd_inverse_batched_dispatch(A: jax.Array) -> jax.Array:
     use_pallas = (
-        in_batched[0]
-        and A.ndim == 3
+        A.ndim == 3
         and jax.default_backend() not in ("cpu", "gpu")
         and not os.environ.get("ROBOGYM_TPU_NO_PALLAS")
     )
     if use_pallas:
-        out = spd_inverse_batched(A)
-    else:
-        out = jax.vmap(_spd_inverse_ref)(A)
-    return out, True
+        return spd_inverse_batched(A)
+    return jax.vmap(_spd_inverse_ref)(A)
+
+
+from robogym_tpu.physics.pallas_dispatch import make_batched_dispatch
+
+# SPD inverse of an (nv, nv) matrix; whole-batch vmap -> Pallas on TPU.
+spd_inverse = make_batched_dispatch(
+    "spd_inverse", _spd_inverse_ref, _spd_inverse_batched_dispatch,
+    single_output=True,
+)
