@@ -214,24 +214,20 @@ def test_mocap_ik_ft_obs_real(ik_env):
 def test_contact_wrench_unit():
     """contact_wrench_on_geoms aggregates per-contact normal loads with the
     MuJoCo sign convention (normal from geom1 into geom2)."""
-    import dataclasses
-
     from robogym_tpu.mjcf.model import Contact
 
     ncon = 2
-    frame = np.tile(np.eye(3), (ncon, 1, 1))
-    frame[:, 0] = [0.0, 0.0, 1.0]  # normals +z
     con = Contact(
         dist=jnp.zeros(ncon), pos=jnp.asarray([[0.0, 0, 0], [1.0, 0, 0]]),
-        frame=jnp.asarray(frame),
-        includemargin=jnp.zeros(ncon), friction=jnp.zeros((ncon, 5)),
-        solref=jnp.zeros((ncon, 2)), solimp=jnp.zeros((ncon, 5)),
+        normal=jnp.asarray([[0.0, 0, 1.0], [0.0, 0, 1.0]]),
+        includemargin=jnp.zeros(ncon),
         geom1=jnp.asarray([0, 5], jnp.int32),
         geom2=jnp.asarray([7, 0], jnp.int32),
         active=jnp.asarray([True, True]),
         condim=jnp.full(ncon, 3, jnp.int32),
         body1=jnp.zeros(ncon, jnp.int32),
         body2=jnp.zeros(ncon, jnp.int32),
+        wtab=jnp.zeros((ncon, 12)),
     )
 
     class _D:
