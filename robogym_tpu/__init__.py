@@ -22,5 +22,8 @@ import jax as _jax
 # one-hot row selection, CRB mass-matrix assembly, and broadphase
 # contractions; bf16 rounding there silently costs ~3 digits of
 # trajectory accuracy. Pin f32 matmuls to true f32 (TPU: the 3-pass
-# bf16 emulation) for every consumer of the package.
-_jax.config.update("jax_default_matmul_precision", "float32")
+# bf16 emulation) for every consumer of the package — but only when the
+# process is still at the JAX default, so a precision the user (or a
+# co-resident library) chose explicitly before import is respected.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "float32")

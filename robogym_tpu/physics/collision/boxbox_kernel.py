@@ -13,7 +13,11 @@ TPU runs the Pallas kernel with the batch on the minor (lane) axis.
 
 Tie-break parity: the XLA path breaks exact SAT-depth ties with a
 +i*1e-7 index ramp (lowest index wins); the kernel's running strict `<`
-min in the same axis order picks the lowest index too.
+min in the same axis order picks the lowest index too. Known divergence:
+if |depth| is large enough that f32 rounding absorbs the ramp, a
+surviving exact tie makes primitives.box_box AVERAGE the tied axes while
+the kernel keeps the first — different normals on that measure-zero set,
+physically negligible (both are valid SAT witnesses).
 """
 
 from __future__ import annotations

@@ -66,9 +66,13 @@ _CONVEX_TYPES = (
 # (hand self-collision, 899 pairs in the locked world) rarely has more than
 # a handful of active pairs, so it gets a tighter budget
 DEFAULT_GROUP_CAP = 48
-# plane_convex: measured 0 broadphase-active pairs over whole locked
-# rollouts (the hand hovers above the floor; only a dropped cube brings
-# plane contacts, and those ride plane_prim) — 8 winners is generous
+# plane_convex: the locked world measures 0 broadphase-active pairs over
+# whole rollouts (the hand hovers above the floor; dropped-cube contacts
+# ride plane_prim) — 8 winners is generous there, and multi-object
+# rearrange/holdout worlds scale it up via opt.group_cap
+# (scale_contact_budgets raises group_cap per object, and build_groups
+# scales kind caps proportionally below). Winner selection is deepest-K,
+# so over-budget states drop the SHALLOWEST pairs, not arbitrary ones.
 KIND_GROUP_CAP = {"convex": 16, "box_convex": 32, "plane_convex": 8}
 
 
@@ -193,12 +197,16 @@ def geom_capsules(m: Model, d: Data):
     # local axis (unit), half-length along it, radius — per geom type
     is_zaxis = (t == GeomType.CAPSULE) | (t == GeomType.CYLINDER)
     is_long = (t == GeomType.BOX) | (t == GeomType.ELLIPSOID)
-    # longest-dimension one-hot (geom_size is randomizable -> traced)
+    # longest-dimension one-hot (geom_size is randomizable -> traced).
+    # On ties take the FIRST argmax only: averaging tied axes yields a
+    # non-unit direction whose capsule misses the far corners of a cube
+    # (corner at 1.633a vs radius 1.414a) — broadphase would then report
+    # clearance for touching cube pairs and silently drop real contacts.
     smax = jnp.max(s, axis=1, keepdims=True)
-    axis_long = (s >= smax).astype(dtype)
-    axis_long = axis_long / jnp.maximum(
-        jnp.sum(axis_long, axis=1, keepdims=True), 1.0
-    )
+    winners = s >= smax
+    axis_long = (
+        winners & (jnp.cumsum(winners.astype(jnp.int32), axis=1) == 1)
+    ).astype(dtype)
     zaxis = jnp.broadcast_to(jnp.asarray([0.0, 0, 1], dtype), (ngeom, 3))
     u_loc = jnp.where(
         jnp.asarray(is_zaxis)[:, None], zaxis,
@@ -280,20 +288,6 @@ def _seg_seg_dist(p1, q1, p2, q2):
     cp2 = p2 + d2 * t_cl[:, None]
     return jnp.linalg.norm(cp1 - cp2, axis=-1)
 
-
-def _rank_onehot(active, K: int, dtype):
-    """(n,) bool -> (K, n) exact one-hot selecting the first K active
-    entries in table order; rows past the active count are all-zero.
-
-    Replaces lax.top_k for broadphase winner selection: with capsule-tight
-    bounds the candidate count stays below K (measured), so order-of-
-    arrival selection keeps every candidate and costs a cumsum + compare
-    instead of a full per-env sort."""
-    rank = jnp.cumsum(active.astype(jnp.int32)) - 1
-    rank = jnp.where(active, rank, -1)
-    return (
-        rank[None, :] == jax.lax.iota(jnp.int32, K)[:, None]
-    ).astype(dtype)
 
 
 def broadphase_scores(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP):
@@ -715,23 +709,19 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
 
         active_pair = score > 0
         if K < n:
-            if grp["kind"].startswith("plane"):
-                # plane groups are empty almost always (measured 0 active
-                # pairs over whole rollouts): first-K candidates in
-                # pair-table order (MuJoCo's own truncation order) — a
-                # cumsum instead of a per-env sort
-                oh = _rank_onehot(active_pair, K, score.dtype)   # (K, n)
-                active_bp = jnp.sum(oh, axis=1) > 0.5
-            else:
-                # dense hand groups overlap far beyond K even with capsule
-                # bounds (convex: ~95 mean candidates, 16 winners) — keep
-                # the deepest-K ranking. bf16 scores halve the sort
-                # bandwidth; ranking precision only shuffles near-ties.
-                score_k, sel = jax.lax.top_k(
-                    score.astype(jnp.bfloat16), K
-                )
-                oh = _onehot(sel, n, score.dtype)  # (K, n)
-                active_bp = score_k > 0
+            # deepest-K ranking for EVERY truncated group. Plane groups
+            # briefly used first-K-in-table-order here (cumsum instead of a
+            # sort; they measure ~0 active pairs on the locked world), but
+            # in rearrange/holdout worlds many objects can rest near the
+            # floor at once and a table-order truncation silently drops
+            # support contacts of whichever objects sort last — resting
+            # objects would sink with no warning. bf16 scores halve the
+            # sort bandwidth; ranking precision only shuffles near-ties.
+            score_k, sel = jax.lax.top_k(
+                score.astype(jnp.bfloat16), K
+            )
+            oh = _onehot(sel, n, score.dtype)  # (K, n)
+            active_bp = score_k > 0
             pk = oh @ ptab
             oh1 = oh @ P1                          # (K, ngeom)
             oh2 = oh @ P2

@@ -168,3 +168,50 @@ def test_free_fall_accuracy():
     dt = 0.002
     expected = 0.2 - 9.81 * dt * dt * n * (n + 1) / 2
     assert abs(float(d.qpos[2]) - expected) < 1e-10
+
+
+def test_bounding_capsule_covers_box_corners():
+    """Broadphase bounding capsules must cover every box corner, including
+    for TIED box dimensions (a cube): averaging tied longest-axis one-hots
+    produced a non-unit axis whose capsule missed the far corners
+    (round-4 advisor finding, collision/driver.py geom_capsules)."""
+    from robogym_tpu.physics.collision import driver
+
+    xml = """
+    <mujoco>
+      <compiler angle="radian"/>
+      <worldbody>
+        <body name="cube" pos="0 0 1" euler="0.3 0.5 0.7">
+          <freejoint/>
+          <geom name="cube" type="box" size="0.05 0.05 0.05" density="1000"/>
+        </body>
+        <body name="slab" pos="1 0 1">
+          <freejoint/>
+          <geom name="slab" type="box" size="0.05 0.05 0.02" density="1000"/>
+        </body>
+        <body name="tall" pos="2 0 1">
+          <freejoint/>
+          <geom name="tall" type="box" size="0.02 0.05 0.05" density="1000"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    m = compile_xml(xml, dtype=jnp.float64)
+    d = S.fwd_position(m, make_data(m, dtype=jnp.float64))
+    a, b, r = driver.geom_capsules(m, d)
+    a, b, r = np.asarray(a), np.asarray(b), np.asarray(r)
+    s = np.asarray(m.geom_size)
+    xp = np.asarray(d.geom_xpos)
+    xm = np.asarray(d.geom_xmat)
+    signs = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float64,
+    )
+    for g in range(int(m.const.ngeom)):
+        corners = xp[g] + (signs * s[g]) @ xm[g].T          # (8, 3)
+        seg = b[g] - a[g]
+        L2 = max(float(seg @ seg), 1e-16)
+        t = np.clip(((corners - a[g]) @ seg) / L2, 0.0, 1.0)
+        closest = a[g] + t[:, None] * seg
+        dist = np.linalg.norm(corners - closest, axis=-1)
+        assert (dist <= r[g] + 1e-9).all(), (g, dist.max(), r[g])
