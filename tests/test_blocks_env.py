@@ -151,11 +151,51 @@ def test_mocap_ik_dual_sim_construction(ik_env):
     assert ik_env.action_size == 6                      # xyz+roll+yaw+grip
 
 
-def test_mocap_ik_impulse_response(ik_env):
+@pytest.mark.parametrize(
+    "reset_controller_error, max_position_change, ref_displacement, rel_tol",
+    [
+        # (reference test_rearrange_sim.py:135-143 parametrization; expected
+        # steady-state displacement measured on mujoco-py 2.0 there)
+        (False, 0.05, 0.0363, 0.25),
+        # interpolated from the reference's reset=True rows (0.165->0.036,
+        # 0.1->0.022: a ~0.22x mpc ratio). The re-sync equilibrium depends
+        # on the main arm's one-step PID tracking fraction, where the two
+        # engines differ most — hence the looser bound (ours measures
+        # ~0.29x mpc)
+        (True, 0.05, 0.0112, 0.40),
+    ],
+)
+def test_mocap_ik_impulse_response(
+    reset_controller_error, max_position_change, ref_displacement, rel_tol
+):
     """Impulse action in a TCP dimension displaces the main arm's TCP in
-    that direction and the solver arm tracks the main arm
-    (test_rearrange_sim.py:144-233 contract)."""
-    env = ik_env
+    that direction, with the magnitude near the reference's measured
+    steady-state response and sub-cm cross-axis leakage
+    (test_rearrange_sim.py:144-233 contract).
+
+    Tolerance note: the reference asserts atol=1e-3 against values measured
+    on mujoco-py 2.0 itself. This engine reproduces the same weld/PID
+    chain (solver weld closure ~54% over the 40 substeps, analytically
+    consistent with solref=[0.02,1] over 40 ms) but its CG soft-constraint
+    solve is not bitwise mujoco-py PGS, so the bound here is 25% relative —
+    tight enough to catch sign flips, dead welds and starved substeps
+    (every past regression mode), loose enough for solver-semantics drift."""
+    env = make_env(
+        # reference substeps: the solver sim shares the main sim's FULL 40
+        # substeps (ur_gripper_arm.py:115-120); starving it (e.g. 5) cuts
+        # weld closure ~10x and was the round-4 "regression"
+        dict(mujoco_substeps=40, stabilize_steps=0, stabilize_objects=False),
+        dict(
+            simulation_params=dict(num_objects=1, max_num_objects=1),
+            n_random_initial_steps=0,
+            robot_control_params=dict(
+                control_mode="tcp+roll+yaw",
+                tcp_solver_mode="mocap_ik",
+                arm_reset_controller_error=reset_controller_error,
+                max_position_change=max_position_change,
+            ),
+        ),
+    )
     step = jax.jit(env.step)
     state, obs = jax.jit(env.reset)(jax.random.key(0))
     zero = jnp.zeros(env.action_size)
@@ -167,20 +207,20 @@ def test_mocap_ik_impulse_response(ik_env):
     dim = 0
     impulse = zero.at[dim].set(1.0)
     state, obs, *_ = step(state, impulse)
-    for _ in range(20):
+    traj = [np.asarray(obs["gripper_pos"]) - start]
+    for _ in range(40):
         state, obs, *_ = step(state, zero)
-    end = np.asarray(obs["gripper_pos"])
-    disp = end - start
-    # moved in the commanded direction by a significant fraction of
-    # max_position_change. KNOWN GAP vs the reference contract
-    # (test_rearrange_sim.py asserts 1e-3 displacement accuracy): the main
-    # arm's cascaded-PI tracks the solver arm with ~0.05-0.15 rad residual,
-    # and the per-step solver<-main re-anchor (arm_reset_controller_error)
-    # turns that residual into centimetre-level drift. Bounds here pin the
-    # current behavior; tightening them is a tracking-quality work item.
-    assert disp[dim] > 0.03, disp
-    assert abs(disp[1]) < 0.08, disp
-    assert -0.25 < disp[2] < 0.08, disp
+        traj.append(np.asarray(obs["gripper_pos"]) - start)
+    traj = np.asarray(traj)
+    disp = traj[-1]
+
+    assert disp[dim] == pytest.approx(ref_displacement, rel=rel_tol), disp
+    # cross-axis leakage stays sub-cm
+    assert abs(disp[1]) < 0.01, disp
+    assert abs(disp[2]) < 0.01, disp
+    # responsiveness (reference: 90% of steady state within 12 steps;
+    # allow 80% to absorb solver-semantics drift)
+    assert abs(traj[12, dim]) > 0.8 * abs(disp[dim]), traj[12]
 
     # solver arm tracks the main arm's joints (sync contract)
     from robogym_tpu.robot import ur16e as arm_lib
