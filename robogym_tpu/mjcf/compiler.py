@@ -117,6 +117,15 @@ def _solimp(s: Optional[str], default=None) -> np.ndarray:
     return out[:5]
 
 
+def _normalize_rows(a: np.ndarray) -> np.ndarray:
+    """Unit-normalize each row (zero rows pass through unchanged)."""
+    a = np.asarray(a, np.float64)
+    if a.size == 0:
+        return a
+    n = np.linalg.norm(a, axis=-1, keepdims=True)
+    return np.where(n > 0, a / np.maximum(n, 1e-300), a)
+
+
 def _np_quat_mul(q0, q1):
     w0, x0, y0, z0 = q0
     w1, x1, y1, z1 = q1
@@ -1068,7 +1077,11 @@ class _Compiler:
             body_mass=jnp.asarray(asnp("mass", b), dtype),
             body_inertia=jnp.asarray(asnp("inertia", b, 3), dtype),
             jnt_pos=jnp.asarray(asnp("pos", J, 3), dtype),
-            jnt_axis=jnp.asarray(asnp("axis", J, 3), dtype),
+            # MuJoCo's compiler NORMALIZES joint axes; hand XMLs carry
+            # 3-digit axes (e.g. LFJ4 "0.571 0 0.821", |a|=1.000041) and the
+            # un-normalized axis shifts qM rows by ~2e-5 relative — the
+            # dominant term of the reach-world conformance divergence
+            jnt_axis=jnp.asarray(_normalize_rows(asnp("axis", J, 3)), dtype),
             jnt_range=jnp.asarray(asnp("range", J, 2), dtype),
             jnt_margin=jnp.asarray(asnp("margin", J), dtype),
             jnt_stiffness=jnp.asarray(asnp("stiffness", J), dtype),
