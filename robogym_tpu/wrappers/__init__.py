@@ -10,6 +10,7 @@ from robogym_tpu.wrappers.core import (
 )
 from robogym_tpu.wrappers.util import (
     ClipActionWrapper,
+    RewardNameWrapper,
     ClipObservationWrapper,
     ClipRewardWrapper,
     DiscretizeActionWrapper,
@@ -21,6 +22,7 @@ from robogym_tpu.wrappers.util import (
     UnifiedGoalObservationWrapper,
 )
 from robogym_tpu.wrappers.randomizations import (
+    ActionDelayWrapper,
     ActionNoiseWrapper,
     BacklashWrapper,
     FreezingPhasespaceMarkers,
@@ -42,6 +44,7 @@ from robogym_tpu.wrappers.randomizations import (
 )
 from robogym_tpu.wrappers.dactyl import (
     AngleObservationWrapper,
+    FingerSeparationWrapper,
     CubeFreezingPhasespaceBody,
     FingersFreezingPhasespaceMarkers,
     FingersOccludedPhasespaceMarkers,
@@ -56,6 +59,8 @@ from robogym_tpu.wrappers.randomizations import (
     RandomizedRobotDampingWrapper,
     RandomizedRobotKpWrapper,
 )
+from robogym_tpu.wrappers.face import RandomizedFaceDampingWrapper
+from robogym_tpu.wrappers.parametric import RandomizedPerpendicularCubeSizeWrapper
 
 __all__ = [n for n in dir() if not n.startswith("_")]
 

@@ -276,3 +276,47 @@ class FingersOccludedPhasespaceMarkers(Transform):
 
     def __init__(self, env=None):
         pass
+
+
+class FingerSeparationWrapper(Transform):
+    """Immobilize and spread apart all fingers other than `active_finger`
+    (/root/reference/robogym/wrappers/dactyl.py:109-151): each frozen
+    joint's range collapses to a 0.01 rad window at one limit, pushing
+    fingers below the active one to their low limit and above it to their
+    high limit (thumb to its own fixed pattern). Deterministic per-episode
+    Model transform on jnt_range."""
+
+    model_fields = ("jnt_range",)
+
+    FINGERS = ("TH", "FF", "MF", "RF", "LF", "WR")
+
+    def __init__(self, env=None, active_finger="FF"):
+        self.active_finger = active_finger
+        jn = env.model.const.names["joint"]
+        finger_i = self.FINGERS.index(active_finger)
+        plan = []  # (joint_id, limit_side)
+        for i, f in enumerate(self.FINGERS):
+            if i == finger_i:
+                continue
+            if "F" in f:
+                limit = 0 if i < finger_i else 1
+                for jname, side in ((f"{f}J4", 1), (f"{f}J3", limit),
+                                    (f"{f}J2", 1), (f"{f}J1", 1),
+                                    (f"{f}J0", 1)):
+                    if f"robot0:{jname}" in jn:
+                        plan.append((jn[f"robot0:{jname}"], side))
+            if f == "TH":
+                for jname, side in ((f"{f}J4", 0), (f"{f}J3", 1),
+                                    (f"{f}J2", 1), (f"{f}J1", 0),
+                                    (f"{f}J0", 0)):
+                    if f"robot0:{jname}" in jn:
+                        plan.append((jn[f"robot0:{jname}"], side))
+        self.joint_ids = np.asarray([p[0] for p in plan], np.int32)
+        self.sides = np.asarray([p[1] for p in plan], np.int32)
+
+    def model(self, tstate, m, key):
+        ids = jnp.asarray(self.joint_ids)
+        sides = jnp.asarray(self.sides)
+        other = m.jnt_range[ids, 1 - sides]
+        diff = jnp.where(sides == 0, -0.01, 0.01).astype(m.jnt_range.dtype)
+        return m.replace(jnt_range=m.jnt_range.at[ids, sides].set(other + diff))

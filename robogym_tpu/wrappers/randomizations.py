@@ -639,3 +639,53 @@ class BacklashWrapper(Transform):
             center = (cr[:, 1] + cr[:, 0]) / 2.0
         new_action = (new_ctrl - center) / arange
         return dict(tstate, slack=slack), new_action
+
+
+class ActionDelayWrapper(Transform):
+    """Fractional (sub-step) action delay
+    (/root/reference/robogym/wrappers/randomizations.py:943-1031).
+
+    The reference models a delay of `delay` ms by re-splitting the env step
+    into two mj_step segments — `last_action` applied for the delay window,
+    the new action for the remainder — by mutating nsubsteps/timestep per
+    step. Static shapes preclude per-step substep counts under jit, so the
+    TPU build applies the time-weighted blend of the two actions for the
+    whole step: the same first-order plant response (position-PID target
+    held at last_action for fraction f of the step), and the same DR intent
+    (policies cannot rely on instantaneous action effect). Delay sampling
+    (per-episode gaussian scale, per-step jitter, 5%-100% clipping) follows
+    the reference exactly.
+    """
+
+    def __init__(self, env=None, delay=30.0, per_episode_std=0.1,
+                 per_step_std=0.002):
+        self.delay = delay
+        self.per_episode_std = per_episode_std
+        self.per_step_std = per_step_std
+        # total env-step duration in ms (reference: timestep*nsubsteps*1000)
+        self.total_length_ms = float(env.constants.step_duration) * 1000.0
+
+    def init(self, key, env):
+        ep = self.delay * (
+            1.0 + jax.random.normal(key, (), env.dtype) * self.per_episode_std
+        )
+        return {
+            "ep_delay": ep,
+            "last_action": jnp.zeros(env.action_size, env.dtype),
+            "has_last": jnp.zeros((), jnp.bool_),
+        }
+
+    def action(self, tstate, action, key, env, env_state):
+        last = jnp.where(tstate["has_last"], tstate["last_action"], action)
+        delay = tstate["ep_delay"] * (
+            1.0 + jax.random.normal(key, (), action.dtype) * self.per_step_std
+        )
+        clipped = jnp.clip(
+            delay, 0.05 * self.total_length_ms, self.total_length_ms
+        )
+        frac = jnp.where(delay > 1e-4, clipped / self.total_length_ms, 0.0)
+        blended = frac * last + (1.0 - frac) * action
+        tstate = dict(
+            tstate, last_action=action, has_last=jnp.ones((), jnp.bool_)
+        )
+        return tstate, blended.astype(action.dtype)

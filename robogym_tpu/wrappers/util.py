@@ -226,3 +226,14 @@ class RewardObservationWrapper(Transform):
         obs = dict(obs)
         obs["reward"] = tstate
         return tstate, obs
+
+
+class RewardNameWrapper(Transform):
+    """Sets the default reward names on the environment
+    (/root/reference/robogym/wrappers/util.py:73-88). The TPU build's reward
+    is always the [env, goal, success] triple (envs/core.py tracker), so the
+    default exposes all three component names."""
+
+    def __init__(self, env=None):
+        if not hasattr(env, "reward_names"):
+            env.reward_names = ["env", "goal", "success"]

@@ -205,3 +205,36 @@ def test_solver_host_hop_attaches_plan(full_env):
     state, obs, reward, done, info = jax.jit(env.step)(state, jnp.zeros(20))
     assert not bool(info["solver_plan_empty"])
     assert int(info["solver_plan_step"]) == 0
+
+
+def test_face_damping_wrapper(full_env):
+    """RandomizedFaceDampingWrapper scales exactly the 6 face-driver dofs
+    (/root/reference/robogym/wrappers/face.py:4-9)."""
+    from robogym_tpu.wrappers import RandomizedFaceDampingWrapper
+
+    env = full_env.env
+    t = RandomizedFaceDampingWrapper(env=env, damping_range=(2.0, 2.0))
+    m2 = t.model(None, env.model, jax.random.key(0))
+    d0 = np.asarray(env.model.dof_damping)
+    d1 = np.asarray(m2.dof_damping)
+    changed = np.nonzero(np.abs(d1 - d0) > 1e-12)[0]
+    assert len(changed) == 6
+    np.testing.assert_allclose(d1[changed], 2.0 * d0[changed], rtol=1e-6)
+
+
+def test_perpendicular_cube_size_wrapper(full_env):
+    """Cubelet geoms/body offsets scale by the sampled multiplier
+    (/root/reference/robogym/wrappers/parametric.py:24-38)."""
+    from robogym_tpu.wrappers import RandomizedPerpendicularCubeSizeWrapper
+
+    env = full_env.env
+    t = RandomizedPerpendicularCubeSizeWrapper(
+        env=env, cube_size_range=(1.1, 1.1)
+    )
+    m2 = t.model(None, env.model, jax.random.key(0))
+    gs0 = np.asarray(env.model.geom_size)[t.geom_ids]
+    gs1 = np.asarray(m2.geom_size)[t.geom_ids]
+    np.testing.assert_allclose(gs1, 1.1 * gs0, rtol=1e-6)
+    bp0 = np.asarray(env.model.body_pos)[t.body_ids]
+    bp1 = np.asarray(m2.body_pos)[t.body_ids]
+    np.testing.assert_allclose(bp1, 1.1 * bp0, rtol=1e-6)

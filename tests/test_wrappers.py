@@ -99,6 +99,13 @@ def fake():
     return FakeEnv()
 
 
+@pytest.fixture(scope="module")
+def locked_env():
+    from robogym_tpu.envs.dactyl import locked
+
+    return locked.make_env(dict(mujoco_substeps=1))
+
+
 def run_steps(env, n=3, action=None, seed=0):
     state, obs = env.reset(jax.random.key(seed))
     out = [obs]
@@ -263,3 +270,59 @@ def test_edit_wrappers():
     assert [w[0] for w in out] == ["A", "Z", "B"]
     out = edit_wrappers(wl, replace=[("B", ["Y", {}])])
     assert [w[0] for w in out] == ["A", "Y", "C"]
+
+
+def test_action_delay_wrapper(locked_env):
+    """Fractional-delay blend: first step passes the action through scaled
+    (no last_action yet -> blend of identical actions), later steps blend
+    toward the previous action (randomizations.py:943-1031 semantics)."""
+    from robogym_tpu.wrappers import ActionDelayWrapper
+    from robogym_tpu.wrappers.core import WrappedEnv
+
+    env = WrappedEnv(locked_env, [ActionDelayWrapper(
+        env=locked_env, delay=100.0, per_episode_std=0.0, per_step_std=0.0,
+    )])
+    t = env.transforms[0]
+    ts = t.init(jax.random.key(0), locked_env)
+    a1 = jnp.ones(locked_env.action_size, locked_env.dtype)
+    ts, out1 = t.action(ts, a1, jax.random.key(1), locked_env, None)
+    np.testing.assert_allclose(np.asarray(out1), 1.0, atol=1e-6)
+    a2 = -jnp.ones(locked_env.action_size, locked_env.dtype)
+    ts, out2 = t.action(ts, a2, jax.random.key(2), locked_env, None)
+    # delay=100ms vs step 80ms -> frac clips to 1.0 -> pure last action
+    np.testing.assert_allclose(np.asarray(out2), 1.0, atol=1e-6)
+    # small delay (20% of the step): mostly the new action
+    total_ms = locked_env.constants.step_duration * 1000.0
+    t2 = ActionDelayWrapper(env=locked_env, delay=0.2 * total_ms,
+                            per_episode_std=0.0, per_step_std=0.0)
+    ts2 = t2.init(jax.random.key(0), locked_env)
+    ts2, _ = t2.action(ts2, a1, jax.random.key(1), locked_env, None)
+    ts2, out = t2.action(ts2, a2, jax.random.key(2), locked_env, None)
+    np.testing.assert_allclose(
+        np.asarray(out), 0.2 * 1.0 + 0.8 * -1.0, atol=1e-5
+    )
+
+
+def test_finger_separation_wrapper(locked_env):
+    from robogym_tpu.wrappers import FingerSeparationWrapper
+
+    t = FingerSeparationWrapper(env=locked_env, active_finger="FF")
+    m2 = t.model(None, locked_env.model, jax.random.key(0))
+    jr = np.asarray(m2.jnt_range)
+    jn = locked_env.model.const.names["joint"]
+    # frozen: MF (above FF in order) collapses at its HIGH limit
+    j = jn["robot0:MFJ1"]
+    assert jr[j, 1] - jr[j, 0] == pytest.approx(0.01, abs=1e-6)
+    # active finger FF untouched
+    j = jn["robot0:FFJ1"]
+    orig = np.asarray(locked_env.model.jnt_range)[j]
+    np.testing.assert_allclose(jr[j], orig)
+
+
+def test_reward_name_wrapper(locked_env):
+    from robogym_tpu.wrappers import RewardNameWrapper
+
+    if hasattr(locked_env, "reward_names"):
+        del locked_env.reward_names
+    RewardNameWrapper(env=locked_env)
+    assert locked_env.reward_names == ["env", "goal", "success"]
