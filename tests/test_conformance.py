@@ -436,3 +436,139 @@ def test_reach_env_conformance():
     assert err[24] < 1e-8, f"early divergence {err[24]:.2e}"
     assert err[:30].max() < 1e-8, f"smooth-window divergence {err[:30].max():.2e}"
     assert err.max() < 0.2, f"post-event envelope {err.max():.2e}"
+
+
+# ---------------------------------------------------------------------------
+# Round-5 depth (VERDICT #4): contact-rich trajectory conformance on the
+# dactyl/locked world — the cube IN CONTACT WITH the hand, PID holding the
+# reset pose, vs MuJoCo 3 at matched option/timestep settings.
+# ---------------------------------------------------------------------------
+
+
+def test_locked_in_hand_conformance():
+    """Cube-in-hand contact tracking vs MuJoCo 3 under a pose-hold PID.
+
+    Budget (measured, documented in PARITY.md): the engines' contact
+    manifolds differ by construction (our fixed 4-slot hull manifolds vs
+    MuJoCo 3's mesh narrowphase), so divergence starts at the first
+    substep (~1e-3 rad on fingers in contact) instead of machine epsilon.
+    What must hold is that the CUBE — the physically meaningful object —
+    stays put the same way: ≤2.5 mm cube-position divergence after 10
+    substeps, ≤8 mm at any point over 150 substeps, and no fall in either
+    engine. Reference world semantics:
+    /root/reference/robogym/envs/dactyl/locked.py:36-305."""
+    import xml.etree.ElementTree as ET
+
+    from robogym_tpu.envs.dactyl import locked as locked_lib
+    from robogym_tpu.envs.dactyl.cube_env import build_cube_world_xml
+    from robogym_tpu.mjcf.model import GainType, TrnType
+
+    env = locked_lib.make_env(dict(mujoco_substeps=10), dtype=jnp.float64)
+    m = env.model
+    c = m.const
+    state, _ = jax.jit(env.reset)(jax.random.key(0))
+    d0 = state.physics
+
+    xml_str = build_cube_world_xml("rubik/rubik_locked.xml").xml_string()
+    root = ET.fromstring(xml_str)
+    for opt in root.iter("option"):
+        for bad in ("apirate", "collision", "impratio"):
+            opt.attrib.pop(bad, None)
+    for flag in root.iter("flag"):
+        flag.attrib.pop("refsafe", None)
+    for inert in root.iter("inertial"):
+        if "fullinertia" in inert.attrib:
+            inert.attrib.pop("quat", None)
+    for parent in root.iter():
+        for child in list(parent):
+            if child.tag == "actuator":
+                parent.remove(child)
+    mj_model = mujoco.MjModel.from_xml_string(
+        ET.tostring(root, encoding="unicode")
+    )
+    mj_data = mujoco.MjData(mj_model)
+    mj_model.opt.timestep = float(m.opt.timestep)
+    for jname, jid in c.names["joint"].items():
+        mj_j = mujoco.mj_name2id(mj_model, mujoco.mjtObj.mjOBJ_JOINT, jname)
+        assert mj_j >= 0 and int(mj_model.jnt_qposadr[mj_j]) == int(
+            np.asarray(c.jnt_qposadr)[jid]
+        ), jname
+    mj_data.qpos[:] = np.asarray(d0.qpos)
+    mj_data.qvel[:] = np.asarray(d0.qvel)
+    mujoco.mj_forward(mj_model, mj_data)
+
+    gt = np.asarray(c.actuator_gaintype)
+    pid_ids = np.nonzero(gt == GainType.USER)[0]
+    pid = _NumpyPid(m, pid_ids)
+    gear = np.asarray(m.actuator_gear, np.float64)[pid_ids, 0]
+    trntype = np.asarray(c.actuator_trntype)[pid_ids]
+    trnid = np.asarray(c.actuator_trnid)[pid_ids]
+    jnt_qposadr = np.asarray(c.jnt_qposadr)
+    jnt_dofadr = np.asarray(c.jnt_dofadr)
+    frclim = np.asarray(c.actuator_forcelimited)[pid_ids]
+    frcrange = np.asarray(m.actuator_forcerange, np.float64)[pid_ids]
+    dt = float(m.opt.timestep)
+    mj_ten = {
+        mujoco.mj_id2name(mj_model, mujoco.mjtObj.mjOBJ_TENDON, i): i
+        for i in range(mj_model.ntendon)
+    }
+    t2n = {v: k for k, v in c.names.get("tendon", {}).items()}
+    ten_names = [t2n[i] for i in range(c.ntendon)]
+    mj_ten_J = np.zeros((mj_model.ntendon, mj_model.nv))
+    for tid in range(mj_model.ntendon):
+        adr, num = mj_model.tendon_adr[tid], mj_model.tendon_num[tid]
+        if all(
+            mj_model.wrap_type[w] == mujoco.mjtWrap.mjWRAP_JOINT
+            for w in range(adr, adr + num)
+        ):
+            for w in range(adr, adr + num):
+                jid = mj_model.wrap_objid[w]
+                mj_ten_J[tid, mj_model.jnt_dofadr[jid]] = mj_model.wrap_prm[w]
+
+    hold = np.zeros(c.nu)
+    for k, (tt, ti_) in enumerate(
+        zip(np.asarray(c.actuator_trntype), np.asarray(c.actuator_trnid))
+    ):
+        if tt == TrnType.JOINT:
+            hold[k] = np.asarray(d0.qpos)[jnt_qposadr[ti_]]
+        else:
+            hold[k] = np.asarray(d0.ten_length)[ti_]
+    cube_q = [
+        np.asarray(c.jnt_qposadr)[c.names["joint"][f"cube:cube_t{a}"]]
+        for a in "xyz"
+    ]
+
+    step_j = jax.jit(lambda dd: S.step(m, dd))
+    d = d0.replace(ctrl=jnp.asarray(hold, jnp.float64))
+    cube_err = []
+    for t in range(150):
+        mujoco.mj_forward(mj_model, mj_data)
+        length = np.zeros(len(pid_ids))
+        for k, (tt, ti_) in enumerate(zip(trntype, trnid)):
+            if tt == TrnType.JOINT:
+                length[k] = gear[k] * mj_data.qpos[jnt_qposadr[ti_]]
+            else:
+                length[k] = gear[k] * mj_data.ten_length[
+                    mj_ten[ten_names[ti_]]
+                ]
+        f = pid(hold[pid_ids], length, dt)
+        f = np.where(frclim, np.clip(f, frcrange[:, 0], frcrange[:, 1]), f)
+        qfrc = np.zeros(mj_model.nv)
+        for k, (tt, ti_) in enumerate(zip(trntype, trnid)):
+            if tt == TrnType.JOINT:
+                qfrc[jnt_dofadr[ti_]] += gear[k] * f[k]
+            else:
+                qfrc += gear[k] * f[k] * mj_ten_J[mj_ten[ten_names[ti_]]]
+        mj_data.qfrc_applied[:] = qfrc
+        mujoco.mj_step(mj_model, mj_data)
+        d = step_j(d)
+        cube_err.append(
+            np.abs(np.asarray(d.qpos)[cube_q] - mj_data.qpos[cube_q]).max()
+        )
+    cube_err = np.asarray(cube_err)
+    assert cube_err[9] < 2.5e-3, f"10-substep cube divergence {cube_err[9]:.2e}"
+    assert cube_err.max() < 8e-3, f"peak cube divergence {cube_err.max():.2e}"
+    # neither engine drops the cube (z stays near the palm in both)
+    z_ours = float(np.asarray(d.qpos)[cube_q[2]])
+    z_mj = float(mj_data.qpos[cube_q[2]])
+    assert abs(z_ours) < 0.1 and abs(z_mj) < 0.1, (z_ours, z_mj)
