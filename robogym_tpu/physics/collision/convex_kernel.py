@@ -178,10 +178,47 @@ def _sweep_witness(DX, v1, v2, c1, c2, xd):
     return dist, p1, p2, (n0, n1, n2), cv1, cv2
 
 
+def _world_from_loc(vloc, xm, xp):
+    """Rotate+translate LOCAL hull verts in VMEM: vloc (K, 3, V, L),
+    xm row-major (K, 9, L), xp (K, 3, L) -> world verts (K, 3, V, L).
+
+    Doing this inside the kernel (instead of materializing a
+    (B, ngeom, 3, V) world-vert cache in XLA each substep) turns the
+    upstream vert gather into a GEMM against a CONSTANT local bank and
+    deletes the cache+parking passes — ~1 ms/substep at B=1024."""
+    rows = []
+    for i in range(3):
+        # int+None mixed indexing lowers to `gather`, which Mosaic rejects
+        # beyond 2D — keep every component select a pure slice
+        acc = xp[:, i : i + 1, :]                            # (K, 1, L)
+        for j in range(3):
+            acc = acc + (
+                xm[:, 3 * i + j : 3 * i + j + 1, :] * vloc[:, j, :, :]
+            )                                                # (K, V, L)
+        rows.append(acc)
+    return jnp.stack(rows, axis=1)                           # (K, 3, V, L)
+
+
 def _hull_kernel(DX, v1_ref, v2_ref, c1_ref, c2_ref, xd_ref,
                  dist_o, pos_o, n_o, p2_o):
     dist, p1, p2, (n0, n1, n2), _, _ = _sweep_witness(
         DX, v1_ref[:], v2_ref[:], c1_ref[:], c2_ref[:], xd_ref[:]
+    )
+    dist_o[:] = dist
+    pos_o[:] = jnp.stack(
+        [0.5 * (p1[i] + p2[i]) for i in range(3)], axis=1
+    )
+    n_o[:] = jnp.stack([n0, n1, n2], axis=1)
+    p2_o[:] = jnp.stack(p2, axis=1)
+
+
+def _hull_kernel_loc(DX, v1l_ref, xm1_ref, xp1_ref, v2l_ref, xm2_ref,
+                     xp2_ref, c1_ref, c2_ref, xd_ref,
+                     dist_o, pos_o, n_o, p2_o):
+    v1 = _world_from_loc(v1l_ref[:], xm1_ref[:], xp1_ref[:])
+    v2 = _world_from_loc(v2l_ref[:], xm2_ref[:], xp2_ref[:])
+    dist, p1, p2, (n0, n1, n2), _, _ = _sweep_witness(
+        DX, v1, v2, c1_ref[:], c2_ref[:], xd_ref[:]
     )
     dist_o[:] = dist
     pos_o[:] = jnp.stack(
@@ -196,6 +233,20 @@ MANIFOLD_TOL = 5e-3
 
 def _manifold_kernel(DX, v1_ref, v2_ref, c1_ref, c2_ref, xd_ref,
                      dist_o, pos_o, n_o):
+    _manifold_body(DX, v1_ref[:], v2_ref[:], c1_ref[:], c2_ref[:],
+                   xd_ref[:], dist_o, pos_o, n_o)
+
+
+def _manifold_kernel_loc(DX, v1l_ref, xm1_ref, xp1_ref, v2l_ref, xm2_ref,
+                         xp2_ref, c1_ref, c2_ref, xd_ref,
+                         dist_o, pos_o, n_o):
+    v1 = _world_from_loc(v1l_ref[:], xm1_ref[:], xp1_ref[:])
+    v2 = _world_from_loc(v2l_ref[:], xm2_ref[:], xp2_ref[:])
+    _manifold_body(DX, v1, v2, c1_ref[:], c2_ref[:], xd_ref[:],
+                   dist_o, pos_o, n_o)
+
+
+def _manifold_body(DX, v1, v2, c1, c2, xd, dist_o, pos_o, n_o):
     """Box(v1 = 8 world corners) vs hull(v2): full 4-point contact manifold
     in one program (driver.py _collide_box_convex_group moved into VMEM).
     After the shared sweep: score every box corner by its depth below the
@@ -205,10 +256,8 @@ def _manifold_kernel(DX, v1_ref, v2_ref, c1_ref, c2_ref, xd_ref,
     the witness point when fewer than 4 corners are valid."""
     f32 = jnp.float32
     bf = jnp.bfloat16
-    v1 = v1_ref[:]
-    c2 = c2_ref[:]
     dist0, p1, p2, (n0, n1, n2), cv1, cv2 = _sweep_witness(
-        DX, v1, v2_ref[:], c1_ref[:], c2, xd_ref[:]
+        DX, v1, v2, c1, c2, xd
     )
     pos0 = [0.5 * (p1[i] + p2[i]) for i in range(3)]
 
@@ -334,6 +383,88 @@ def _build_call(K: int, V1: int, V2: int, DX: int):
         )(v1, v2, c1, c2, xd)
 
     return call
+
+
+@functools.lru_cache(maxsize=32)
+def _build_call_loc(K: int, V1: int, V2: int, DX: int):
+    kernel = functools.partial(_hull_kernel_loc, DX)
+    DXp = max(DX, 1)
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(dims + (LANE,),
+                            lambda i, nd=nd: (0,) * nd + (i,),
+                            memory_space=pltpu.VMEM)
+
+    def call(v1l, xm1, xp1, v2l, xm2, xp2, c1, c2, xd):
+        B = v1l.shape[-1]
+        assert B % LANE == 0, B
+        return pl.pallas_call(
+            kernel,
+            grid=(B // LANE,),
+            in_specs=[
+                spec(K, 3, V1), spec(K, 9), spec(K, 3),
+                spec(K, 3, V2), spec(K, 9), spec(K, 3),
+                spec(K, 3), spec(K, 3), spec(K, DXp, 3),
+            ],
+            out_specs=[spec(K), spec(K, 3), spec(K, 3), spec(K, 3)],
+            out_shape=[
+                jax.ShapeDtypeStruct((K, B), jnp.float32),
+                jax.ShapeDtypeStruct((K, 3, B), jnp.float32),
+                jax.ShapeDtypeStruct((K, 3, B), jnp.float32),
+                jax.ShapeDtypeStruct((K, 3, B), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=INTERPRET,
+        )(v1l, xm1, xp1, v2l, xm2, xp2, c1, c2, xd)
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _build_manifold_call_loc(K: int, V1: int, V2: int, DX: int):
+    kernel = functools.partial(_manifold_kernel_loc, DX)
+    DXp = max(DX, 1)
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(dims + (LANE,),
+                            lambda i, nd=nd: (0,) * nd + (i,),
+                            memory_space=pltpu.VMEM)
+
+    def call(v1l, xm1, xp1, v2l, xm2, xp2, c1, c2, xd):
+        B = v1l.shape[-1]
+        assert B % LANE == 0, B
+        return pl.pallas_call(
+            kernel,
+            grid=(B // LANE,),
+            in_specs=[
+                spec(K, 3, V1), spec(K, 9), spec(K, 3),
+                spec(K, 3, V2), spec(K, 9), spec(K, 3),
+                spec(K, 3), spec(K, 3), spec(K, DXp, 3),
+            ],
+            out_specs=[spec(K, 4), spec(K, 4, 3), spec(K, 3)],
+            out_shape=[
+                jax.ShapeDtypeStruct((K, 4, B), jnp.float32),
+                jax.ShapeDtypeStruct((K, 4, 3, B), jnp.float32),
+                jax.ShapeDtypeStruct((K, 3, B), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=INTERPRET,
+        )(v1l, xm1, xp1, v2l, xm2, xp2, c1, c2, xd)
+
+    return call
+
+
+def _world_from_loc_xla(vloc, xm, xp):
+    """Per-env XLA twin of `_world_from_loc`: vloc (K, 3, V), xm (K, 9),
+    xp (K, 3) -> world verts (K, 3, V)."""
+    R = xm.reshape(xm.shape[0], 3, 3)
+    return xp[:, :, None] + jnp.einsum("kij,kjv->kiv", R, vloc)
 
 
 def _reference_hull_pair(v1, v2, c1, c2, xd, dirs12, ring, DX):
@@ -592,3 +723,105 @@ def _make_hull_manifold_core(DX: int):
         return back(dist4), back(pos4), back(n)
 
     return make_batched_dispatch(f"hull_manifold_dx{DX}", ref, batched)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_hull_core_loc(DX: int):
+    """Local-vert single-point hull-hull core: same results as
+    `_make_hull_core`, but each side enters as (vloc (K,3,V), xm (K,9),
+    xp (K,3)) and the world rotate+translate happens INSIDE the kernel —
+    the caller never materializes per-substep world verts."""
+    from robogym_tpu.physics.pallas_dispatch import make_batched_dispatch
+
+    def ref(v1l, xm1, xp1, v2l, xm2, xp2, c1, c2, xd, dirs12, ring):
+        v1 = _world_from_loc_xla(v1l, xm1, xp1)
+        v2 = _world_from_loc_xla(v2l, xm2, xp2)
+        return _reference_hull_pair(v1, v2, c1, c2, xd, dirs12, ring, DX)
+
+    def batched(v1l, xm1, xp1, v2l, xm2, xp2, c1, c2, xd, dirs12, ring):
+        import os
+
+        use_pallas = (
+            (
+                jax.default_backend() not in ("cpu", "gpu")
+                or os.environ.get("ROBOGYM_TPU_FORCE_PALLAS")
+            )
+            and not os.environ.get("ROBOGYM_TPU_NO_PALLAS")
+        )
+        if not use_pallas:
+            return jax.vmap(ref)(v1l, xm1, xp1, v2l, xm2, xp2, c1, c2, xd,
+                                 dirs12, ring)
+
+        B, K, _, V1 = v1l.shape
+        V2 = v2l.shape[-1]
+        pad = (-B) % LANE
+        t = lambda x: jnp.moveaxis(x.astype(jnp.float32), 0, -1)
+
+        def padlane(x):
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1
+                )
+            return x
+
+        del dirs12, ring
+        p = lambda x: padlane(t(x))
+        call = _build_call_loc(K, V1, V2, DX)
+        dist, pos, n, p2 = call(
+            p(v1l), p(xm1), p(xp1), p(v2l), p(xm2), p(xp2),
+            p(c1), p(c2), p(xd),
+        )
+        back = lambda x: jnp.moveaxis(x[..., :B], -1, 0)
+        return back(dist), back(pos), back(n), back(p2)
+
+    return make_batched_dispatch(f"hull_pair_loc_dx{DX}", ref, batched)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_hull_manifold_core_loc(DX: int):
+    """Local-vert box-vs-hull 4-point manifold core (argument contract of
+    `_make_hull_core_loc`). Returns (dist4 (K,4), pos4 (K,4,3), n (K,3))."""
+    from robogym_tpu.physics.pallas_dispatch import make_batched_dispatch
+
+    def ref(v1l, xm1, xp1, v2l, xm2, xp2, c1, c2, xd, dirs12, ring):
+        v1 = _world_from_loc_xla(v1l, xm1, xp1)
+        v2 = _world_from_loc_xla(v2l, xm2, xp2)
+        return _reference_hull_manifold(v1, v2, c1, c2, xd, dirs12, ring, DX)
+
+    def batched(v1l, xm1, xp1, v2l, xm2, xp2, c1, c2, xd, dirs12, ring):
+        import os
+
+        use_pallas = (
+            (
+                jax.default_backend() not in ("cpu", "gpu")
+                or os.environ.get("ROBOGYM_TPU_FORCE_PALLAS")
+            )
+            and not os.environ.get("ROBOGYM_TPU_NO_PALLAS")
+        )
+        if not use_pallas:
+            return jax.vmap(ref)(v1l, xm1, xp1, v2l, xm2, xp2, c1, c2, xd,
+                                 dirs12, ring)
+
+        B, K, _, V1 = v1l.shape
+        V2 = v2l.shape[-1]
+        pad = (-B) % LANE
+        t = lambda x: jnp.moveaxis(x.astype(jnp.float32), 0, -1)
+
+        def padlane(x):
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1
+                )
+            return x
+
+        del dirs12, ring
+        p = lambda x: padlane(t(x))
+        call = _build_manifold_call_loc(K, V1, V2, DX)
+        dist4, pos4, n = call(
+            p(v1l), p(xm1), p(xp1), p(v2l), p(xm2), p(xp2),
+            p(c1), p(c2), p(xd),
+        )
+        back = lambda x: jnp.moveaxis(x[..., :B], -1, 0)
+        return back(dist4), back(pos4), back(n)
+
+    return make_batched_dispatch(f"hull_manifold_loc_dx{DX}", ref, batched)

@@ -73,7 +73,11 @@ DEFAULT_GROUP_CAP = 48
 # (scale_contact_budgets raises group_cap per object, and build_groups
 # scales kind caps proportionally below). Winner selection is deepest-K,
 # so over-budget states drop the SHALLOWEST pairs, not arbitrary ones.
-KIND_GROUP_CAP = {"convex": 16, "box_convex": 32, "plane_convex": 8}
+# convex (hand self-collision): broadphase-active pairs average ~97 but
+# TOUCHING pairs measure mean 0.11 / p99 1 / max 3 over random locked
+# rollouts (scripts/measure_active.py) — deepest-8 keeps every real
+# contact with >2x headroom at half the narrowphase-kernel cost
+KIND_GROUP_CAP = {"convex": 8, "box_convex": 32, "plane_convex": 8}
 
 
 @functools.lru_cache(maxsize=32)
@@ -319,29 +323,25 @@ def broadphase_scores(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP):
     return out
 
 
-def _mesh_world_cache(m: Model, d: Data):
-    """World-frame hull verts/masks computed ONCE PER GEOM per substep.
+def _mesh_local_cache(m: Model):
+    """LOCAL-frame per-geom hull tables: vloc (ngeom, 3, V) with padded
+    verts parked AT the local hull center, mask (ngeom, V), cloc (ngeom, 3).
 
-    Layout is V-MINOR: world verts are (ngeom, 3, V) so every downstream
-    reduction (support dots, max-selects) runs over the minor/lane axis —
-    the layout the VPU wants. Per-pair transforms and vertex gathers were
-    the hottest cost in the old narrowphase."""
+    Depends on Model only (pose-free), so XLA hoists it out of the substep
+    scan; the world rotate+translate moved INTO the narrowphase kernels
+    (convex_kernel._world_from_loc). For an unrandomized model the
+    downstream vert gather becomes a GEMM against a CONSTANT bank —
+    replacing the (B, ngeom, 3, V) per-substep world-vert materialization
+    that was the top XLA-side cost in the round-5 trace."""
     c = m.const
     mids = jnp.clip(jnp.asarray(c.geom_dataid), 0, max(c.nmesh - 1, 0))
-    verts = m.mesh_convex_vert[mids]                 # (ngeom, V, 3)
-    # world[g, i, v] = xpos[g, i] + sum_j xmat[g, i, j] * verts[g, v, j]
-    world = d.geom_xpos[:, :, None] + jnp.sum(
-        d.geom_xmat[:, :, :, None] * jnp.swapaxes(verts, 1, 2)[:, None, :, :],
-        axis=2,
-    )                                                # (ngeom, 3, V)
-    mask = m.mesh_convex_mask[mids]                  # (ngeom, V)
-    center = d.geom_xpos + jnp.einsum(
-        "gij,gj->gi", d.geom_xmat, m.mesh_convex_center[mids]
-    )
-    # park padded vertices AT the hull center: their support dot can never
+    verts = jnp.swapaxes(m.mesh_convex_vert[mids], 1, 2)   # (ngeom, 3, V)
+    mask = m.mesh_convex_mask[mids]                        # (ngeom, V)
+    cloc = m.mesh_convex_center[mids]                      # (ngeom, 3)
+    # park padded vertices AT the local center: their support dot can never
     # exceed a real vertex's, so the support sweep needs no mask
-    world = jnp.where(mask[:, None, :] > 0, world, center[:, :, None])
-    return world, mask, center
+    vloc = jnp.where(mask[:, None, :] > 0, verts, cloc[:, :, None])
+    return vloc, mask, cloc
 
 
 def _gather_geom(m: Model, d: Data, oh: jax.Array, gtype: int, mesh_cache=None):
@@ -349,6 +349,8 @@ def _gather_geom(m: Model, d: Data, oh: jax.Array, gtype: int, mesh_cache=None):
 
     `oh` is (K, ngeom) with exactly one 1.0 per row — `oh @ table` is an
     exact row-select that runs as an MXU matmul instead of a per-env gather.
+    Mesh verts come out LOCAL (`vloc`); use `_ensure_world_verts` on the
+    few paths that still need per-winner world verts in XLA.
     """
     ngeom = oh.shape[-1]
     xmat9 = d.geom_xmat.reshape(ngeom, 9)
@@ -358,22 +360,33 @@ def _gather_geom(m: Model, d: Data, oh: jax.Array, gtype: int, mesh_cache=None):
         size=oh @ m.geom_size,
     )
     if gtype == GeomType.MESH:
-        world, mask, center = mesh_cache
-        V = world.shape[-1]
-        data["world_vert"] = (oh @ world.reshape(ngeom, 3 * V)).reshape(
-            -1, 3, V
-        )
+        vloc, mask, cloc = mesh_cache
+        V = vloc.shape[-1]
+        data["vloc"] = (oh @ vloc.reshape(ngeom, 3 * V)).reshape(-1, 3, V)
         data["mask"] = oh @ mask
-        data["center"] = oh @ center
+        cl = oh @ cloc                                     # (K, 3)
+        data["center"] = data["xpos"] + jnp.einsum(
+            "kij,kj->ki", data["xmat"], cl
+        )
     else:
         data["center"] = data["xpos"]
     return data
+
+
+def _ensure_world_verts(t: int, data) -> None:
+    """Materialize per-WINNER world verts in XLA for the generic support /
+    plane paths (K rows only — cheap; the hull kernels transform in-VMEM)."""
+    if t == GeomType.MESH and "world_vert" not in data:
+        data["world_vert"] = data["xpos"][:, :, None] + jnp.einsum(
+            "kij,kjv->kiv", data["xmat"], data["vloc"]
+        )
 
 
 def _support_multi(gtype: int, data, dirs: jax.Array) -> jax.Array:
     """Batched support: (K pairs, D dirs, 3) points for per-pair direction
     sets `dirs` (K, D, 3). One fused GEMM per call site instead of D
     closure invocations."""
+    _ensure_world_verts(gtype, data)
     if gtype == GeomType.MESH:
         # (K, D, V) dots via broadcast-multiply-reduce over the MINOR V
         # axis, NOT dot_general: a (K*B)-batched GEMM with M=V, N=D, K=3
@@ -449,20 +462,20 @@ def _support_multi(gtype: int, data, dirs: jax.Array) -> jax.Array:
 _HULL_TYPES = (GeomType.BOX, GeomType.MESH)
 
 
-def _hull_verts(t, data):
-    """Padded world-frame vert hull (K, 3, V) + center (K, 3) for a
-    box (8 corners) or mesh (hull cache) geom batch."""
+def _hull_locs(t, data):
+    """LOCAL padded vert hull (K, 3, V), row-major rot (K, 9), origin
+    (K, 3) and world center (K, 3) for a box (8 corners) or mesh geom
+    batch — the operand set of the `_loc` hull kernels, which do the world
+    transform in VMEM."""
+    xm9 = data["xmat"].reshape(-1, 9)
     if t == GeomType.BOX:
         signs = np.asarray(
             [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
              for sz in (-1.0, 1.0)], np.float32,
         )                                                   # (8, 3)
-        local = jnp.asarray(signs)[None] * data["size"][:, None, :]  # (K,8,3)
-        world = data["xpos"][:, None, :] + jnp.sum(
-            data["xmat"][:, None, :, :] * local[:, :, None, :], axis=-1
-        )                                                   # (K, 8, 3)
-        return jnp.swapaxes(world, 1, 2), data["xpos"]
-    return data["world_vert"], data["center"]
+        local = jnp.asarray(signs).T[None] * data["size"][:, :, None]
+        return local, xm9, data["xpos"], data["xpos"]       # vloc (K, 3, 8)
+    return data["vloc"], xm9, data["xpos"], data["center"]
 
 
 def _hull_extra_dirs(t1, t2, data1, data2):
@@ -480,17 +493,17 @@ def _hull_extra_dirs(t1, t2, data1, data2):
 
 def _collide_hull_group(t1, t2, data1, data2):
     """Single-point hull-hull collision via the fused sweep core
-    (convex_kernel.py; Pallas under vmap on TPU).
-    Returns dist (K,), pos (K,3), normal (K,3), plane_pt (K,3)."""
+    (convex_kernel.py; Pallas under vmap on TPU; local verts transformed
+    in-kernel). Returns dist (K,), pos (K,3), normal (K,3), plane_pt (K,3)."""
     from robogym_tpu.physics.collision import convex_kernel
 
-    v1, c1 = _hull_verts(t1, data1)
-    v2, c2 = _hull_verts(t2, data2)
+    v1l, xm1, xp1, c1 = _hull_locs(t1, data1)
+    v2l, xm2, xp2, c2 = _hull_locs(t2, data2)
     xd, DX = _hull_extra_dirs(t1, t2, data1, data2)
-    core = convex_kernel._make_hull_core(DX)
+    core = convex_kernel._make_hull_core_loc(DX)
     dirs12 = jnp.asarray(convex_kernel._dirs12_np())
     ring = jnp.asarray(convex_kernel._ring_np())
-    return core(v1, v2, c1, c2, xd, dirs12, ring)
+    return core(v1l, xm1, xp1, v2l, xm2, xp2, c1, c2, xd, dirs12, ring)
 
 
 def _collide_convex_group(t1, t2, data1, data2, n_refine=8):
@@ -568,16 +581,16 @@ def _collide_box_convex_group(t2, data1, data2, n_refine=8):
     Returns dist (K,4), pos (K,4,3), normal (K,4,3)."""
     if t2 in _HULL_TYPES:
         # whole manifold (sweep + corner scoring + top-4) runs in one
-        # fused kernel (convex_kernel._manifold_kernel; XLA reference on
-        # CPU) — the corner-scoring tail used to be ~15 XLA ops here
+        # fused kernel (convex_kernel._manifold_kernel_loc; XLA reference
+        # on CPU) — the corner-scoring tail used to be ~15 XLA ops here
         from robogym_tpu.physics.collision import convex_kernel
 
-        v1, c1 = _hull_verts(GeomType.BOX, data1)
-        v2, c2 = _hull_verts(t2, data2)
+        v1l, xm1, xp1, c1 = _hull_locs(GeomType.BOX, data1)
+        v2l, xm2, xp2, c2 = _hull_locs(t2, data2)
         xd, DXn = _hull_extra_dirs(GeomType.BOX, t2, data1, data2)
-        core = convex_kernel._make_hull_manifold_core(DXn)
+        core = convex_kernel._make_hull_manifold_core_loc(DXn)
         dist4, pos4, n = core(
-            v1, v2, c1, c2, xd,
+            v1l, xm1, xp1, v2l, xm2, xp2, c1, c2, xd,
             jnp.asarray(convex_kernel._dirs12_np()),
             jnp.asarray(convex_kernel._ring_np()),
         )
@@ -639,7 +652,7 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
     dtype = d.qpos.dtype
     groups = build_groups(c, group_cap)
     cap_a, cap_b, cap_r = geom_capsules(m, d)
-    mesh_cache = _mesh_world_cache(m, d) if c.nmesh else None
+    mesh_cache = _mesh_local_cache(m) if c.nmesh else None
 
     all_dist, all_pos, all_frame = [], [], []
     all_g1, all_g2, all_condim = [], [], []
@@ -760,6 +773,7 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
             # batched plane-vs-hull over K pairs: 4 deepest world verts
             data1 = _gather_geom(m, d, oh1, t1)
             data2 = _gather_geom(m, d, oh2, t2, mesh_cache)
+            _ensure_world_verts(t2, data2)
             nrm = data1["xmat"][:, :, 2]                           # (K,3)
             wv = data2["world_vert"]                               # (K,3,V)
             rel = wv - data1["xpos"][:, :, None]
