@@ -344,7 +344,25 @@ def _mesh_local_cache(m: Model):
     return vloc, mask, cloc
 
 
-def _gather_geom(m: Model, d: Data, oh: jax.Array, gtype: int, mesh_cache=None):
+def _geom_table(m: Model, d: Data, mesh_cache):
+    """(ngeom, 18) fused per-geom table [xpos(3) | xmat9(9) | size(3) |
+    cloc(3)]: ONE one-hot GEMM fetches every scalar geom quantity a
+    narrowphase side needs. Separate per-field contractions each re-read
+    the (B, K, ngeom) one-hot from HBM — the concat costs one pass, the
+    fused gather saves five."""
+    c = m.const
+    xmat9 = d.geom_xmat.reshape(c.ngeom, 9)
+    cloc = (
+        mesh_cache[2] if mesh_cache is not None
+        else jnp.zeros((c.ngeom, 3), d.geom_xpos.dtype)
+    )
+    return jnp.concatenate(
+        [d.geom_xpos, xmat9, m.geom_size, cloc], axis=-1
+    )
+
+
+def _gather_geom(geo_tab: jax.Array, oh: jax.Array, gtype: int,
+                 mesh_cache=None, need_mask: bool = False):
     """Per-geom quantities for a pair side, via one-hot contraction.
 
     `oh` is (K, ngeom) with exactly one 1.0 per row — `oh @ table` is an
@@ -353,20 +371,20 @@ def _gather_geom(m: Model, d: Data, oh: jax.Array, gtype: int, mesh_cache=None):
     few paths that still need per-winner world verts in XLA.
     """
     ngeom = oh.shape[-1]
-    xmat9 = d.geom_xmat.reshape(ngeom, 9)
+    g = oh @ geo_tab                                       # (K, 18)
     data = dict(
-        xpos=oh @ d.geom_xpos,
-        xmat=(oh @ xmat9).reshape(-1, 3, 3),
-        size=oh @ m.geom_size,
+        xpos=g[:, 0:3],
+        xmat=g[:, 3:12].reshape(-1, 3, 3),
+        size=g[:, 12:15],
     )
     if gtype == GeomType.MESH:
-        vloc, mask, cloc = mesh_cache
+        vloc, mask, _ = mesh_cache
         V = vloc.shape[-1]
         data["vloc"] = (oh @ vloc.reshape(ngeom, 3 * V)).reshape(-1, 3, V)
-        data["mask"] = oh @ mask
-        cl = oh @ cloc                                     # (K, 3)
+        if need_mask:
+            data["mask"] = oh @ mask
         data["center"] = data["xpos"] + jnp.einsum(
-            "kij,kj->ki", data["xmat"], cl
+            "kij,kj->ki", data["xmat"], g[:, 15:18]
         )
     else:
         data["center"] = data["xpos"]
@@ -653,14 +671,16 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
     groups = build_groups(c, group_cap)
     cap_a, cap_b, cap_r = geom_capsules(m, d)
     mesh_cache = _mesh_local_cache(m) if c.nmesh else None
+    geo_tab = _geom_table(m, d, mesh_cache)
 
-    all_dist, all_pos, all_frame = [], [], []
-    all_g1, all_g2, all_condim = [], [], []
-    all_wtab, all_margin = [], []
+    # per-group packed (K*ncon, 13) blocks
+    # [pos(3) | normal(3) | dist | margin-gap | condim | g1 | g2 | b1 | b2]
+    # — ONE concat over groups builds the whole contact table; the former
+    # nine per-field concats each paid a full (B, ncon) HBM pass
+    all_blocks, all_wtab = [], []
 
     geom_bodyid_np = np.asarray(c.geom_bodyid, np.int32)
     xmat9 = d.geom_xmat.reshape(c.ngeom, 9)
-    all_b1, all_b2 = [], []
 
     for grp in groups:
         g1_np, g2_np = grp["g1"], grp["g2"]
@@ -742,19 +762,12 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
             pk = ptab
             oh1, oh2 = P1, P2
             active_bp = active_pair
-        solref_k, solimp_k, fric5_k = pk[:, 0:2], pk[:, 2:7], pk[:, 7:12]
-        margin_k, gap_k = pk[:, 12], pk[:, 13]
-        as_i32 = lambda col: jnp.round(col).astype(jnp.int32)
-        condim_k = as_i32(pk[:, 14])
-        g1k, g2k = as_i32(pk[:, 15]), as_i32(pk[:, 16])
-        b1k, b2k = as_i32(pk[:, 17]), as_i32(pk[:, 18])
-
         # --- narrowphase (vmapped over the K winners)
         t1, t2 = grp["t1"], grp["t2"]
         if grp["kind"] in ("plane_prim", "prim"):
             fn = grp["fn"]
-            d1 = _gather_geom(m, d, oh1, t1)
-            d2 = _gather_geom(m, d, oh2, t2)
+            d1 = _gather_geom(geo_tab, oh1, t1)
+            d2 = _gather_geom(geo_tab, oh2, t2)
             if t1 == GeomType.BOX and t2 == GeomType.BOX:
                 # whole 17-slot SAT manifold in one fused kernel
                 # (boxbox_kernel; XLA primitive on CPU)
@@ -771,8 +784,9 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
                 )
         elif grp["kind"] == "plane_convex":
             # batched plane-vs-hull over K pairs: 4 deepest world verts
-            data1 = _gather_geom(m, d, oh1, t1)
-            data2 = _gather_geom(m, d, oh2, t2, mesh_cache)
+            data1 = _gather_geom(geo_tab, oh1, t1)
+            data2 = _gather_geom(geo_tab, oh2, t2, mesh_cache,
+                                 need_mask=True)
             _ensure_world_verts(t2, data2)
             nrm = data1["xmat"][:, :, 2]                           # (K,3)
             wv = data2["world_vert"]                               # (K,3,V)
@@ -803,12 +817,12 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
             pos = picked - 0.5 * dist[:, :, None] * nrm[:, None, :]
             normal = jnp.tile(nrm[:, None, :], (1, 4, 1))
         elif grp["kind"] == "box_convex":
-            data1 = _gather_geom(m, d, oh1, t1, mesh_cache)
-            data2 = _gather_geom(m, d, oh2, t2, mesh_cache)
+            data1 = _gather_geom(geo_tab, oh1, t1, mesh_cache)
+            data2 = _gather_geom(geo_tab, oh2, t2, mesh_cache)
             dist, pos, normal = _collide_box_convex_group(t2, data1, data2)
         else:  # convex
-            data1 = _gather_geom(m, d, oh1, t1, mesh_cache)
-            data2 = _gather_geom(m, d, oh2, t2, mesh_cache)
+            data1 = _gather_geom(geo_tab, oh1, t1, mesh_cache)
+            data2 = _gather_geom(geo_tab, oh2, t2, mesh_cache)
             dist, pos, normal = _collide_convex_group(t1, t2, data1, data2)
             dist, pos, normal = dist[:, None], pos[:, None], normal[:, None]
 
@@ -817,44 +831,41 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
             dist, pos, normal = dist[:, None], pos[:, None], normal[:, None]
         dist = jnp.where(active_bp[:, None], dist, BIG)
 
-        all_dist.append(dist.reshape(-1))
-        all_pos.append(pos.reshape(-1, 3))
-        all_frame.append(normal.reshape(-1, 3))
-        all_g1.append(jnp.repeat(g1k, ncon))
-        all_g2.append(jnp.repeat(g2k, ncon))
-        all_b1.append(jnp.repeat(b1k, ncon))
-        all_b2.append(jnp.repeat(b2k, ncon))
-        all_condim.append(jnp.repeat(condim_k, ncon))
+        # winner-level columns repeated once to slot level
+        wincols = jnp.concatenate(
+            [(pk[:, 12] - pk[:, 13])[:, None], pk[:, 14:19]], axis=-1
+        ).astype(dtype)                                    # (K, 6)
+        block = jnp.concatenate(
+            [
+                pos.reshape(-1, 3).astype(dtype),
+                normal.reshape(-1, 3).astype(dtype),
+                dist.reshape(-1, 1).astype(dtype),
+                jnp.repeat(wincols, ncon, axis=0),
+            ],
+            axis=-1,
+        )                                                  # (K*ncon, 13)
+        all_blocks.append(block)
         # solver params stay per-WINNER: repeating the 12 f32 columns to
         # every slot was ~40% of the contact table's HBM traffic
-        all_wtab.append(
-            jnp.concatenate([solref_k, solimp_k, fric5_k], axis=-1)
-        )
-        all_margin.append(jnp.repeat(margin_k - gap_k, ncon))
+        all_wtab.append(pk[:, 0:12])
 
-    dist = jnp.concatenate(all_dist)
-    pos = jnp.concatenate(all_pos)
-    normal = jnp.concatenate(all_frame)
-    g1s = jnp.concatenate(all_g1)
-    g2s = jnp.concatenate(all_g2)
-    b1s = jnp.concatenate(all_b1)
-    b2s = jnp.concatenate(all_b2)
-    condims = jnp.concatenate(all_condim)
-    wtab = jnp.concatenate(all_wtab)
-    includemargin = jnp.concatenate(all_margin)
-    active = dist < includemargin
+    tab = jnp.concatenate(all_blocks, axis=0)              # (ncon_total, 13)
+    wtab = jnp.concatenate(all_wtab, axis=0)
+    dist = tab[:, 6]
+    includemargin = tab[:, 7]
+    as_i32 = lambda col: jnp.round(col).astype(jnp.int32)
 
     contact = Contact(
-        dist=dist.astype(dtype),
-        pos=pos.astype(dtype),
-        normal=normal.astype(dtype),
-        includemargin=includemargin.astype(dtype),
-        geom1=g1s.astype(jnp.int32),
-        geom2=g2s.astype(jnp.int32),
-        active=active,
-        condim=condims.astype(jnp.int32),
-        body1=b1s.astype(jnp.int32),
-        body2=b2s.astype(jnp.int32),
+        dist=dist,
+        pos=tab[:, 0:3],
+        normal=tab[:, 3:6],
+        includemargin=includemargin,
+        geom1=as_i32(tab[:, 9]),
+        geom2=as_i32(tab[:, 10]),
+        active=dist < includemargin,
+        condim=as_i32(tab[:, 8]),
+        body1=as_i32(tab[:, 11]),
+        body2=as_i32(tab[:, 12]),
         wtab=wtab.astype(dtype),
     )
     return d.replace(contact=contact)
