@@ -55,6 +55,7 @@ FAST_FILES = {
     "test_constraint_batched.py",  # /
     "test_convex_kernel.py",   # ~40 s
     "test_wrappers.py",        # ~130 s (locked-env fixture build)
+    "test_f32_tier.py",        # ~100 s
 }
 
 
