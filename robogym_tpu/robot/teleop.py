@@ -75,6 +75,13 @@ class URGripperArmController:
     def move_gripper(self, direction: int) -> np.ndarray:
         return self._move(self.action_size - 1, direction, self.gripper_speed)
 
+    def tilt_gripper(self, direction: int) -> np.ndarray:
+        """(reference controllers/ur_gripper_arm.py tilt): the roll dim,
+        present only in tcp+roll+yaw's 6-dim action layout."""
+        if self.action_size >= 6:
+            return self._move(3, direction, self.wrist_speed)
+        return self.zero_control()
+
     # keyboard map (reference viewer/robot_control_viewer.py:44-107)
     KEYMAP = {
         "up": ("move_x", Direction.POS),

@@ -35,10 +35,16 @@ def main(argv=None):
     seed = int(kwargs.pop("seed", 0))
     record = kwargs.pop("record", None)
     teleop = bool(kwargs.pop("teleop", False))
+    interactive = bool(kwargs.pop("interactive", False))
 
     env = load_env(pattern, **kwargs)
     print(f"Loaded env {type(env).__name__} (action_size={env.action_size})")
 
+    if interactive:
+        # curses live loop (the EnvViewer / RobotControlViewer analogue)
+        from robogym_tpu.viewer.interactive import InteractiveViewer
+
+        return InteractiveViewer(env, seed=seed, teleop=teleop).run()
     if teleop:
         return _teleop_loop(env, seed, record)
 

@@ -130,3 +130,53 @@ def test_create_holdout_saves_state(tmp_path, joint_env):
     data = np.load(path)
     assert data["obj_pos"].shape == (1, 3)
     assert data["obj_quat"].shape == (1, 4)
+
+
+def test_interactive_viewer_pty():
+    """Curses live viewer (viewer/interactive.py): spawns under a pseudo-
+    terminal, sends EnvViewer-keymap keystrokes, asserts the status pane
+    renders and 'q' exits cleanly (the GLFW EnvViewer analogue,
+    /root/reference/robogym/viewer/env_viewer.py:13-168)."""
+    import os
+    import pty
+    import select
+    import sys
+    import time
+
+    pid, fd = pty.fork()
+    if pid == 0:  # child: run the viewer
+        os.environ["TERM"] = "xterm"
+        try:
+            from robogym_tpu.scripts.examine import main
+
+            main(["dactyl/locked", "interactive=True",
+                  "constants=@{'mujoco_substeps': 1}"])
+            os._exit(0)
+        except BaseException:
+            os._exit(3)
+
+    out = b""
+    deadline = time.time() + 420
+    sent = sent_q = False
+    t_sent = 0.0
+    while time.time() < deadline:
+        r, _, _ = select.select([fd], [], [], 1.0)
+        if r:
+            try:
+                out += os.read(fd, 65536)
+            except OSError:
+                break
+        if b"reward" in out and not sent:
+            for k in (b"z", b"k", b"a"):
+                os.write(fd, k)
+                time.sleep(0.3)
+            sent, t_sent = True, time.time()
+        if sent and not sent_q and time.time() - t_sent > 2:
+            os.write(fd, b"q")
+            sent_q = True
+    os.close(fd)
+    _, status = os.waitpid(pid, 0)
+    text = out.decode(errors="replace")
+    assert os.WIFEXITED(status) and os.WEXITSTATUS(status) == 0, status
+    for probe in ("[ENV]", "reward [env goal success]", "selected dim"):
+        assert probe in text, probe
