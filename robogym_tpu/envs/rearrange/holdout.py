@@ -165,8 +165,13 @@ class HoldoutRearrangeEnv(blocks_lib.BlocksRearrangeEnv):
                     cfg.get("tag_args", {}), cfg.get("material_args", {}),
                 ))
         model = compile_xml(xml, dtype=self.dtype)
-        n_scene = sum(int(c.get("count", 1))
-                      for c in self._scene_object_configs)
+        # scale by scene GEOMS, not scene objects: a composed scene body
+        # (bookshelf, bin) carries several contact geoms each of which can
+        # hold simultaneous support contacts — counting it as 1 left the
+        # bookshelf's 258-pair mesh-mesh group at the hand-world cap
+        n_scene = sum(
+            1 for nm in model.const.names["geom"] if nm.startswith("scene")
+        )
         model = sim_lib.scale_contact_budgets(model, i, n_scene)
         return model, sim_lib.RearrangeIndex.build(model, i)
 

@@ -40,6 +40,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 
+# The fused kernel keeps J (E, V, L), the four M-family matrices
+# (V, V, L), ~14 (E, L) row maps and ~12 (V, L) vectors resident in VMEM.
+# Worlds with hundreds of constraint rows (cubelet Rubik, multi-object
+# rearrange) exceed the ~16 MB per-core VMEM and the remote TPU compile
+# helper dies instead of erroring — callers must route such solves to the
+# XLA scan path (see fused_fits_vmem).
+_VMEM_BUDGET_BYTES = 11 * 1024 * 1024
+
+
+def fused_fits_vmem(E: int, V: int) -> bool:
+    """Conservative VMEM-footprint check for the fused CG kernels."""
+    floats = E * V + 4 * V * V + 16 * E + 16 * V
+    return 4 * floats * LANE <= _VMEM_BUDGET_BYTES
+
 # must match constraint._make_cg_core's line search (first-min tie-break
 # too): frozen-active-set Newton step + these safeguard scales
 LS_SCALES = (2.0, 1.0, 0.5, 0.125)

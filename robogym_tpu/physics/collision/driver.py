@@ -61,6 +61,7 @@ _CONVEX_TYPES = (
     GeomType.BOX,
     GeomType.MESH,
 )
+_HULL_TYPES_STATIC = (GeomType.BOX, GeomType.MESH)
 
 # default per-group active-pair budget (broadphase top-k size); mesh-mesh
 # (hand self-collision, 899 pairs in the locked world) rarely has more than
@@ -78,6 +79,10 @@ DEFAULT_GROUP_CAP = 48
 # rollouts (scripts/measure_active.py) — deepest-8 keeps every real
 # contact with >2x headroom at half the narrowphase-kernel cost
 KIND_GROUP_CAP = {"convex": 8, "box_convex": 32, "plane_convex": 8}
+# bases used when the env RAISES group_cap (dense multi-object scenes):
+# mesh-object piles (bookshelf books, ycb stacks) carry many simultaneous
+# mesh-mesh support contacts — the hand-tuned 8 does not transfer there
+KIND_GROUP_CAP_DENSE = {"convex": 16, "box_convex": 32, "plane_convex": 8}
 
 
 @functools.lru_cache(maxsize=32)
@@ -106,7 +111,14 @@ def build_groups(const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP):
         elif t1 == GeomType.BOX and t2 == GeomType.MESH:
             kind, fn, ncon = "box_convex", None, 4
         elif t1 in _CONVEX_TYPES and t2 in _CONVEX_TYPES:
-            kind, fn, ncon = "convex", None, 1
+            # hull-hull (mesh-mesh) pairs emit a 4-point manifold via the
+            # same fused kernel the box-hull path uses: a single contact
+            # point cannot hold a resting/wedged object (a bookshelf book
+            # squeezed between walls extrudes upward at constant velocity
+            # with 1-point contacts); pairs with an analytic round geom
+            # stay single-point
+            both_hull = t1 in _HULL_TYPES_STATIC and t2 in _HULL_TYPES_STATIC
+            kind, fn, ncon = "convex", None, 4 if both_hull else 1
         else:
             continue
         key = (kind, t1, t2)
@@ -130,8 +142,9 @@ def build_groups(const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP):
         cap = KIND_GROUP_CAP.get(grp["kind"], group_cap)
         if group_cap > DEFAULT_GROUP_CAP:
             # dense scenes (opt.group_cap raised by the env) scale the
-            # kind-specific caps proportionally too
-            cap = max(cap, cap * group_cap // DEFAULT_GROUP_CAP)
+            # kind-specific caps proportionally, from the dense base
+            base = KIND_GROUP_CAP_DENSE.get(grp["kind"], cap)
+            cap = max(base, base * group_cap // DEFAULT_GROUP_CAP)
         grp["K"] = min(n, cap)
         # static pair->geom one-hot matrices: every runtime lookup of a
         # per-geom quantity for this group becomes a (n, ngeom) matmul (and
@@ -477,7 +490,7 @@ def _support_multi(gtype: int, data, dirs: jax.Array) -> jax.Array:
     raise NotImplementedError(f"support for type {gtype}")
 
 
-_HULL_TYPES = (GeomType.BOX, GeomType.MESH)
+_HULL_TYPES = _HULL_TYPES_STATIC
 
 
 def _hull_locs(t, data):
@@ -592,6 +605,29 @@ def _collide_convex_group(t1, t2, data1, data2, n_refine=8):
     p1 = _support_multi(t1, data1, nd)[:, 0]
     p2 = _support_multi(t2, data2, -nd)[:, 0]
     return -s_best, 0.5 * (p1 + p2), n
+
+
+def _collide_hull_manifold_group(t1, t2, data1, data2):
+    """4-point manifold for a generic hull-hull pair batch via the fused
+    manifold kernel (side-1 verts scored against the contact plane —
+    identical machinery to the box-hull path, with side 1's vert set being
+    a mesh hull instead of 8 box corners). Padded side-1 verts are parked
+    at the hull center; they can only enter the manifold when the CENTER
+    penetrates the other hull (gross overlap), and then with a shallower
+    dist than any real vert — inactive in all but crushed states.
+    Returns dist (K,4), pos (K,4,3), normal (K,4,3)."""
+    from robogym_tpu.physics.collision import convex_kernel
+
+    v1l, xm1, xp1, c1 = _hull_locs(t1, data1)
+    v2l, xm2, xp2, c2 = _hull_locs(t2, data2)
+    xd, DXn = _hull_extra_dirs(t1, t2, data1, data2)
+    core = convex_kernel._make_hull_manifold_core_loc(DXn)
+    dist4, pos4, n = core(
+        v1l, xm1, xp1, v2l, xm2, xp2, c1, c2, xd,
+        jnp.asarray(convex_kernel._dirs12_np()),
+        jnp.asarray(convex_kernel._ring_np()),
+    )
+    return dist4, pos4, jnp.tile(n[:, None, :], (1, 4, 1))
 
 
 def _collide_box_convex_group(t2, data1, data2, n_refine=8):
@@ -823,8 +859,18 @@ def collision(m: Model, d: Data, group_cap: int = DEFAULT_GROUP_CAP) -> Data:
         else:  # convex
             data1 = _gather_geom(geo_tab, oh1, t1, mesh_cache)
             data2 = _gather_geom(geo_tab, oh2, t2, mesh_cache)
-            dist, pos, normal = _collide_convex_group(t1, t2, data1, data2)
-            dist, pos, normal = dist[:, None], pos[:, None], normal[:, None]
+            if ncon == 4:
+                # hull-hull: full 4-point manifold (see build_groups note)
+                dist, pos, normal = _collide_hull_manifold_group(
+                    t1, t2, data1, data2
+                )
+            else:
+                dist, pos, normal = _collide_convex_group(
+                    t1, t2, data1, data2
+                )
+                dist, pos, normal = (
+                    dist[:, None], pos[:, None], normal[:, None]
+                )
 
         # shape: (K, ncon) / (K, ncon, 3)
         if dist.ndim == 1:

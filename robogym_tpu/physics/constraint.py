@@ -901,15 +901,20 @@ def _make_cg_core(iterations: int):
     def batched(J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0):
         import os
 
+        from robogym_tpu.physics import cg_kernel as _ck
+
         args = (J, aref, Deq, Done, Dfr, floss, M, Minv, qs, x0)
         backend = jax.default_backend()
-        # default on TPU; ROBOGYM_TPU_NO_PALLAS forces the XLA scan path
+        # default on TPU; ROBOGYM_TPU_NO_PALLAS forces the XLA scan path;
+        # oversized systems (cubelet/multi-object worlds) fall back too —
+        # their J does not fit VMEM and the fused compile dies
         use_pallas = (
             (
                 backend not in ("cpu", "gpu")
                 or os.environ.get("ROBOGYM_TPU_FORCE_PALLAS")
             )
             and not os.environ.get("ROBOGYM_TPU_NO_PALLAS")
+            and _ck.fused_fits_vmem(J.shape[1], J.shape[2])
         )
         if use_pallas:
             from robogym_tpu.physics import cg_kernel

@@ -207,12 +207,22 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
         # damp/dt) before calling here
         import os
 
+        from robogym_tpu.physics import cg_kernel as _ck
+
+        n_s = J_s.shape[1]
+        S_rows = mask1.shape[1]
+        nv = cdof.shape[1]
         use_pallas = (
             (
                 jax.default_backend() not in ("cpu", "gpu")
                 or os.environ.get("ROBOGYM_TPU_FORCE_PALLAS")
             )
             and not os.environ.get("ROBOGYM_TPU_NO_PALLAS")
+            # oversized systems (many contact facet rows / wide nv) exceed
+            # VMEM in the fused kernel and kill the TPU compile — use the
+            # vmapped XLA reference there (which itself guards its inner
+            # CG core the same way)
+            and _ck.fused_fits_vmem(n_s + S_rows * nfacet, nv)
         )
         if not use_pallas:
             return jax.vmap(reference)(
