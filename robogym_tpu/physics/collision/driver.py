@@ -111,17 +111,28 @@ def build_groups(const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP):
         elif t1 == GeomType.BOX and t2 == GeomType.MESH:
             kind, fn, ncon = "box_convex", None, 4
         elif t1 in _CONVEX_TYPES and t2 in _CONVEX_TYPES:
-            # hull-hull (mesh-mesh) pairs emit a 4-point manifold via the
-            # same fused kernel the box-hull path uses: a single contact
-            # point cannot hold a resting/wedged object (a bookshelf book
-            # squeezed between walls extrudes upward at constant velocity
-            # with 1-point contacts); pairs with an analytic round geom
-            # stay single-point
+            # hull-hull (mesh-mesh) pairs involving a FREE body emit a
+            # 4-point manifold via the same fused kernel the box-hull path
+            # uses: a single contact point cannot hold a resting/wedged
+            # object (a bookshelf book squeezed between shelf walls
+            # extrudes upward at constant velocity with 1-point contacts).
+            # Articulated-link pairs (hand finger-finger brushes: touching
+            # p99 = 1, actuated on both sides) keep the cheaper single
+            # point — in-hand conformance holds either way and the
+            # manifold kernel costs ~3% of the locked step. Round-geom
+            # pairs are single-point by construction.
             both_hull = t1 in _HULL_TYPES_STATIC and t2 in _HULL_TYPES_STATIC
-            kind, fn, ncon = "convex", None, 4 if both_hull else 1
+            has_free = _touches_free_body(const, g1) or _touches_free_body(
+                const, g2
+            )
+            kind, fn, ncon = (
+                "convex", None, 4 if (both_hull and has_free) else 1
+            )
         else:
             continue
-        key = (kind, t1, t2)
+        # ncon is part of the key: hull-hull pairs with/without a
+        # free body carry different manifold widths
+        key = (kind, t1, t2, ncon)
         grp = groups.setdefault(
             key,
             dict(kind=kind, fn=fn, ncon=ncon, t1=t1, t2=t2,
@@ -159,6 +170,20 @@ def build_groups(const: ModelConst, group_cap: int = DEFAULT_GROUP_CAP):
         grp["P1"], grp["P2"] = P1, P2
         out.append(grp)
     return out
+
+
+def _touches_free_body(const: ModelConst, g: int) -> bool:
+    """True when geom g's kinematic tree is rooted in a FREE joint (a
+    movable object rather than an articulated robot link)."""
+    from robogym_tpu.mjcf.model import JointType
+
+    root = int(const.body_rootid[int(const.geom_bodyid[g])])
+    adr = int(const.body_jntadr[root])
+    num = int(const.body_jntnum[root])
+    return any(
+        int(const.jnt_type[j]) == JointType.FREE
+        for j in range(adr, adr + num)
+    )
 
 
 def _onehot(sel: jax.Array, n: int, dtype) -> jax.Array:
