@@ -488,9 +488,13 @@ class BlocksRearrangeEnv:
             sarm = self.solver_robot.arm
             sgrip = self.solver_robot.gripper
             sq = solver_d.qpos
-            sq = sq.at[jnp.asarray(sarm.joint_qpos_ids)].set(
-                arm_lib.joint_positions(self.robot.arm, d)
-            )
+            if rcp.arm_reset_controller_error:
+                # solver arm re-anchored to the observed main-sim joints
+                # (joint_controlled_tcp_arm.py:92-95 sync gated on
+                # robot_interface.py:66 arm_reset_controller_error)
+                sq = sq.at[jnp.asarray(sarm.joint_qpos_ids)].set(
+                    arm_lib.joint_positions(self.robot.arm, d)
+                )
             sq = sq.at[sgrip.joint_qpos_id].set(
                 d.qpos[self.robot.gripper.joint_qpos_id]
             )
