@@ -93,10 +93,18 @@ def _compute_invweight0_cpu(m: Model):
 
 def invweight0(m: Model):
     """Cached accessor: computes once per compiled model (cache rides on
-    the static ModelConst, the same pattern as the actuation partition)."""
+    the static ModelConst, the same pattern as the actuation partition).
+
+    The compute path goes through numpy (host-side f64 inverse), so when
+    the first call happens INSIDE a jit trace (a fresh ModelConst used
+    straight under jit — e.g. the effort-mode model swap), omnistaging
+    would hand numpy a tracer. ensure_compile_time_eval keeps the
+    computation eager; Model leaves here are compile-time constants by
+    construction (invweight0 is mj_setConst data)."""
     c = m.const
     cached = getattr(c, "_invweight0", None)
     if cached is None:
-        cached = compute_invweight0(m)
+        with jax.ensure_compile_time_eval():
+            cached = compute_invweight0(m)
         object.__setattr__(c, "_invweight0", cached)
     return cached
