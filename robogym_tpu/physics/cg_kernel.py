@@ -40,19 +40,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 
-# The fused kernel keeps J (E, V, L), the four M-family matrices
-# (V, V, L), ~14 (E, L) row maps and ~12 (V, L) vectors resident in VMEM.
-# Worlds with hundreds of constraint rows (cubelet Rubik, multi-object
-# rearrange) exceed the ~16 MB per-core VMEM and the remote TPU compile
-# helper dies instead of erroring — callers must route such solves to the
-# XLA scan path (see fused_fits_vmem).
-_VMEM_BUDGET_BYTES = 11 * 1024 * 1024
+# The fused kernel keeps J (E, V, L), the M-family matrices (V, V, L),
+# ~14 (E, L) row maps and ~12 (V, L) vectors resident in VMEM. Worlds with
+# hundreds of constraint rows (cubelet Rubik, multi-object rearrange) would
+# exceed VMEM at the full 128-lane block — _pick_lane halves the lane width
+# until the estimated footprint fits the scoped-VMEM budget, and
+# fused_full_fits_vmem routes to the XLA scan path only when even the
+# narrowest (32-lane) block cannot fit. The budget is ~4x below the 128MB
+# physical VMEM because Mosaic's register-allocator SPILL SLOTS dominate
+# the real footprint: the blocks world (E=360, V=56, S=56) measures 133MB
+# at lane 128 against a 37MB operand estimate — ~3.6x spill overhead.
+_SCOPED_VMEM_BUDGET = 32 * 1024 * 1024
+
+
+def _footprint_bytes(E: int, V: int, S: int, with_euler: bool) -> int:
+    """Per-lane f32 VMEM estimate for the fat kernel: J + ~9 row-build
+    facet temps + the M-family matrices + ~14 (E,) coefficient maps."""
+    n_mats = 6 if with_euler else 4
+    return (E * V + 9 * S * V + n_mats * V * V + 14 * E) * 4
+
+
+def _pick_lane(est: int) -> int:
+    lane = LANE
+    while lane > 32 and est * lane > _SCOPED_VMEM_BUDGET:
+        lane //= 2
+    return lane
 
 
 def fused_fits_vmem(E: int, V: int) -> bool:
-    """Conservative VMEM-footprint check for the fused CG kernels."""
+    """Conservative VMEM-footprint check for the SKINNY CG kernel
+    (_build_call), which always runs full 128-lane blocks."""
     floats = E * V + 4 * V * V + 16 * E + 16 * V
-    return 4 * floats * LANE <= _VMEM_BUDGET_BYTES
+    return 4 * floats * LANE <= 11 * 1024 * 1024
+
+
+def fused_full_fits_vmem(E: int, V: int, S: int,
+                         with_euler: bool) -> bool:
+    """True when the FAT kernel (_build_full_call) fits VMEM at SOME lane
+    width >= 32 — it narrows its lane block to fit big systems, so large
+    rearrange/Rubik worlds can still take the fused path."""
+    est = _footprint_bytes(E, V, S, with_euler)
+    return est * _pick_lane(est) <= _SCOPED_VMEM_BUDGET
 
 # must match constraint._make_cg_core's line search (first-min tie-break
 # too): frozen-active-set Newton step + these safeguard scales
@@ -452,16 +480,9 @@ def _build_full_call(iterations: int, nv: int, nefc: int,
     # lane width: big constraint systems (rearrange: E~360, V~56, S~57)
     # exceed the ~100MB scoped-VMEM budget at 128 lanes once J and the
     # row-build intermediates live in VMEM — halve the block instead of
-    # failing to compile. Rough footprint: J + ~6 facet temps + 4 (V,V)
-    # mats + ~12 (E,) maps, in f32.
+    # failing to compile (same estimate as fused_fits_vmem).
     S_rb = row_build[1] if row_build else 0
-    # include the Euler M/Minv blocks when the fused integrator is on
-    n_mats = 6 if with_euler else 4
-    est = (nefc * nv + 9 * S_rb * nv + n_mats * nv * nv + 14 * nefc) * 4
-    # halve until the estimated footprint fits the scoped-VMEM budget
-    lane = LANE
-    while lane > 32 and est * lane > 70 * 1024 * 1024:
-        lane //= 2
+    lane = _pick_lane(_footprint_bytes(nefc, nv, S_rb, with_euler))
 
     def spec3(d0, d1):
         return pl.BlockSpec((d0, d1, lane), lambda i: (0, 0, i),

@@ -221,8 +221,10 @@ def _make_core(kind_s_key: bytes, iterations: int, nfacet: int,
             # oversized systems (many contact facet rows / wide nv) exceed
             # VMEM in the fused kernel and kill the TPU compile — use the
             # vmapped XLA reference there (which itself guards its inner
-            # CG core the same way)
-            and _ck.fused_fits_vmem(n_s + S_rows * nfacet, nv)
+            # CG core the same way). The gate is lane-aware: big rearrange/
+            # Rubik systems run the fat kernel at a narrower lane block.
+            and _ck.fused_full_fits_vmem(n_s + S_rows * nfacet, nv, S_rows,
+                                         with_euler)
         )
         if not use_pallas:
             return jax.vmap(reference)(
